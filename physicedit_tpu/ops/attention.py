@@ -1,0 +1,63 @@
+"""Attention primitives: XLA baseline + dispatch to the Pallas TPU kernel.
+
+The DiT's hot loop is joint text+image self-attention over the concatenated
+sequence (qwen_image_dit.py:304-311).  The reference uses FlashAttention-3 /
+SDPA; here the baseline is a plain XLA dot-softmax-dot with fp32 accumulation,
+and `physicedit_tpu.kernels.flash_attention` provides the fused Pallas path.
+
+Layout: [B, S, N, D] ("BSND") everywhere — heads in the minor-most large dim,
+which keeps QK^T and PV as large MXU matmuls after a single transpose.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array,
+             key_mask: jax.Array | None = None,
+             bias: jax.Array | None = None) -> jax.Array:
+    """Scaled dot-product attention, fp32 softmax. q/k/v: [B, S, N, D].
+
+    key_mask: optional [B, S_k] bool — False keys are excluded (padding).
+    bias: optional [B, 1|N, S_q, S_k] additive bias (entity-mask attention).
+    """
+    b, sq, n, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    # [B, N, S, D]
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bnqd,bnkd->bnqk", qt, kt,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if key_mask is not None:
+        neg = jnp.asarray(-1e30, dtype=jnp.float32)
+        logits = jnp.where(key_mask[:, None, None, :], logits, neg)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bnqk,bnkd->bnqd", probs, vt)
+    return out.transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("impl",))
+def attention(q, k, v, key_mask=None, bias=None, impl: str = "xla"):
+    if impl == "xla":
+        return sdpa_xla(q, k, v, key_mask=key_mask, bias=bias)
+    if impl == "pallas":
+        from physicedit_tpu.kernels.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, key_mask=key_mask, bias=bias)
+    raise ValueError(f"unknown attention impl: {impl}")
+
+
+def default_impl() -> str:
+    """Pick the fused kernel on TPU, the XLA fallback elsewhere."""
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "xla"

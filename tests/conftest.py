@@ -18,6 +18,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# XLA-CPU's default matmul precision is bf16-fastmath (errors ~1e-2); parity
+# tests need true fp32 accumulation.  TPU production code sets dtypes
+# explicitly, so this is test-only configuration.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 REFERENCE_ROOT = "/root/reference/DiffSynth-Studio"

@@ -1,0 +1,175 @@
+"""DiT parity tests against the reference torch modules (random weights)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from physicedit_tpu.models import dit as jdit
+from physicedit_tpu.ops import rope as jrope
+from tests.conftest import requires_reference, load_ref_module
+
+
+def _to_np(t):
+    return t.detach().float().numpy()
+
+
+@requires_reference
+def test_rope_tables_match_reference():
+    import torch
+
+    ref_mod = load_ref_module("models.qwen_image_dit")
+    ref_rope = ref_mod.QwenEmbedRope(theta=10000, axes_dim=[16, 56, 56], scale_rope=True)
+
+    img_shapes = [(1, 16, 24), (1, 12, 20)]  # base latent grid + edit image grid
+    txt_len = 37
+    vid_freqs, txt_freqs = ref_rope(img_shapes, [txt_len], device=torch.device("cpu"))
+
+    img_cos, img_sin, txt_cos, txt_sin = jrope.build_rope_tables(img_shapes, txt_len)
+    np.testing.assert_allclose(img_cos, vid_freqs.real.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(img_sin, vid_freqs.imag.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(txt_cos, txt_freqs.real.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(txt_sin, txt_freqs.imag.numpy(), rtol=1e-5, atol=1e-5)
+
+
+@requires_reference
+def test_rope_interpolation_matches_forward_sampling():
+    import torch
+
+    ref_mod = load_ref_module("models.qwen_image_dit")
+    ref_rope = ref_mod.QwenEmbedRope(theta=10000, axes_dim=[16, 56, 56], scale_rope=True)
+
+    img_shapes = [(1, 16, 16), (1, 10, 12)]
+    vid_freqs, txt_freqs = ref_rope.forward_sampling(img_shapes, [11], device=torch.device("cpu"))
+    img_cos, img_sin, txt_cos, txt_sin = jrope.build_rope_tables(
+        img_shapes, 11, edit_rope_interpolation=True)
+    np.testing.assert_allclose(img_cos, vid_freqs.real.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(img_sin, vid_freqs.imag.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(txt_cos, txt_freqs.real.numpy(), rtol=1e-5, atol=1e-5)
+
+
+@requires_reference
+def test_block_parity_tiny():
+    """One dual-stream block, tiny dims, fp32: ours vs reference torch."""
+    import torch
+
+    ref_mod = load_ref_module("models.qwen_image_dit")
+    torch.manual_seed(0)
+    dim, heads, hd = 256, 4, 64
+    ref_block = ref_mod.QwenImageTransformerBlock(
+        dim=dim, num_attention_heads=heads, attention_head_dim=hd).eval()
+
+    cfg = jdit.DiTConfig(num_layers=1, dim=dim, num_heads=heads, head_dim=hd)
+    sd = {f"transformer_blocks.0.{k}": v for k, v in ref_block.state_dict().items()}
+
+    from physicedit_tpu.io.convert import dit_from_torch
+
+    # Reuse the full converter by wrapping the single block with dummies.
+    blocks = dit_from_torch_blocks_only(sd, 1, jnp.float32)
+
+    b, s_i, s_t = 2, 24, 7
+    rng = np.random.default_rng(1)
+    image = rng.normal(size=(b, s_i, dim)).astype(np.float32)
+    text = rng.normal(size=(b, s_t, dim)).astype(np.float32)
+    temb = rng.normal(size=(b, dim)).astype(np.float32)
+
+    img_shapes = [(1, 4, 6)]
+    img_cos, img_sin, txt_cos, txt_sin = jrope.build_rope_tables(
+        img_shapes, s_t, axes_dim=(8, 28, 28))
+
+    with torch.no_grad():
+        ref_rope = ref_mod.QwenEmbedRope(theta=10000, axes_dim=[8, 28, 28], scale_rope=True)
+        vid_freqs, txt_freqs = ref_rope(img_shapes, [s_t], device=torch.device("cpu"))
+        ref_text, ref_image = ref_block(
+            image=torch.tensor(image), text=torch.tensor(text),
+            temb=torch.tensor(temb), image_rotary_emb=(vid_freqs, txt_freqs))
+
+    blk = jax.tree_util.tree_map(lambda x: x[0], blocks)
+    out_text, out_image = jdit.block_forward(
+        blk, cfg, jnp.asarray(image), jnp.asarray(text), jax.nn.silu(jnp.asarray(temb)),
+        img_cos, img_sin, txt_cos, txt_sin, joint_key_mask=None)
+
+    np.testing.assert_allclose(np.asarray(out_image), _to_np(ref_image), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_text), _to_np(ref_text), rtol=2e-4, atol=2e-4)
+
+
+def dit_from_torch_blocks_only(sd, num_layers, dtype):
+    """Helper: run the converter's block mapping without top-level weights."""
+    from physicedit_tpu.io import convert as C
+
+    def block(i):
+        b = f"transformer_blocks.{i}"
+        return {
+            "img_mod": C._lin(sd, f"{b}.img_mod.1", dtype),
+            "txt_mod": C._lin(sd, f"{b}.txt_mod.1", dtype),
+            "attn": {
+                "img_qkv": C._fused_qkv(
+                    sd, [f"{b}.attn.to_q", f"{b}.attn.to_k", f"{b}.attn.to_v"], dtype),
+                "txt_qkv": C._fused_qkv(
+                    sd, [f"{b}.attn.add_q_proj", f"{b}.attn.add_k_proj",
+                         f"{b}.attn.add_v_proj"], dtype),
+                "norm_q": {"scale": C._t(sd, f"{b}.attn.norm_q.weight", dtype)},
+                "norm_k": {"scale": C._t(sd, f"{b}.attn.norm_k.weight", dtype)},
+                "norm_added_q": {"scale": C._t(sd, f"{b}.attn.norm_added_q.weight", dtype)},
+                "norm_added_k": {"scale": C._t(sd, f"{b}.attn.norm_added_k.weight", dtype)},
+                "to_out": C._lin(sd, f"{b}.attn.to_out.0", dtype),
+                "to_add_out": C._lin(sd, f"{b}.attn.to_add_out", dtype),
+            },
+            "img_mlp": {
+                "fc1": C._lin(sd, f"{b}.img_mlp.net.0.proj", dtype),
+                "fc2": C._lin(sd, f"{b}.img_mlp.net.2", dtype),
+            },
+            "txt_mlp": {
+                "fc1": C._lin(sd, f"{b}.txt_mlp.net.0.proj", dtype),
+                "fc2": C._lin(sd, f"{b}.txt_mlp.net.2", dtype),
+            },
+        }
+
+    blocks = [block(i) for i in range(num_layers)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+
+
+def test_tiny_dit_forward_shapes():
+    """Forward pass + jit on the tiny config with padded text masking."""
+    cfg = jdit.TINY_CONFIG
+    params = jdit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    b, h, w = 2, 32, 32  # latent h/w = 4x4 -> 2x2 patches -> 4 tokens... (32/8=4)
+    lat_h, lat_w = h // 8, w // 8
+    s_i = (lat_h // 2) * (lat_w // 2)
+    s_t = 9
+    img_tokens = jnp.ones((b, s_i, cfg.patch_dim), jnp.float32)
+    txt_tokens = jnp.ones((b, s_t, cfg.txt_in_dim), jnp.float32)
+    mask = jnp.asarray(np.array([[1] * 9, [1] * 5 + [0] * 4]), bool)
+    img_cos, img_sin, txt_cos, txt_sin = jrope.build_rope_tables(
+        [(1, lat_h // 2, lat_w // 2)], s_t, axes_dim=(16, 24, 24))
+    out = jdit.dit_forward(params, cfg, img_tokens, txt_tokens,
+                           jnp.full((b,), 0.5), img_cos, img_sin, txt_cos, txt_sin,
+                           txt_key_mask=mask)
+    assert out.shape == (b, s_i, cfg.patch_dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_padding_invariance():
+    """Padded-and-masked text must give identical image outputs."""
+    cfg = jdit.TINY_CONFIG
+    params = jdit.init_dit_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    s_i, s_t = 16, 6
+    img = jnp.asarray(rng.normal(size=(1, s_i, cfg.patch_dim)).astype(np.float32))
+    txt = rng.normal(size=(1, s_t, cfg.txt_in_dim)).astype(np.float32)
+    pad = 4
+    txt_padded = np.concatenate(
+        [txt, np.zeros((1, pad, cfg.txt_in_dim), np.float32)], axis=1)
+    t = jnp.asarray([0.3])
+
+    def run(txt_arr, s_t_eff, mask):
+        img_cos, img_sin, txt_cos, txt_sin = jrope.build_rope_tables(
+            [(1, 4, 4)], txt_arr.shape[1], axes_dim=(16, 24, 24))
+        return jdit.dit_forward(params, cfg, img, jnp.asarray(txt_arr), t,
+                                img_cos, img_sin, txt_cos, txt_sin,
+                                txt_key_mask=mask)
+
+    out_ref = run(txt, s_t, jnp.ones((1, s_t), bool))
+    mask = jnp.asarray(np.array([[1] * s_t + [0] * pad]), bool)
+    out_pad = run(txt_padded, s_t + pad, mask)
+    np.testing.assert_allclose(np.asarray(out_pad), np.asarray(out_ref), rtol=1e-5, atol=1e-5)
