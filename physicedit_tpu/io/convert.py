@@ -100,3 +100,166 @@ def dit_from_torch(sd: dict, num_layers: int | None = None, dtype=jnp.bfloat16):
         "proj_out": _lin(sd, "proj_out", dtype),
         "blocks": stacked,
     }
+
+
+# ---------------------------------------------------------------------------
+# VAE converter
+# ---------------------------------------------------------------------------
+
+def _conv3d_tap(sd, prefix, dtype):
+    """Causal Conv3d -> 2D conv weights for image mode.
+
+    With 2 leading zero-pad frames and T=1 input, only the last temporal tap
+    of the kernel ever touches data (qwen_image_vae.py:40-50), so the 2D
+    equivalent is weight[:, :, -1] transposed to HWIO.
+    """
+    w = np.asarray(_t(sd, prefix + ".weight", jnp.float32))
+    if w.ndim == 5:
+        w = w[:, :, -1]
+    return {
+        "w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)), dtype=dtype),
+        "b": _t(sd, prefix + ".bias", dtype),
+    }
+
+
+def _vae_norm(sd, prefix, dtype):
+    g = np.asarray(_t(sd, prefix + ".gamma", jnp.float32)).reshape(-1)
+    return {"gamma": jnp.asarray(g, dtype=dtype)}
+
+
+def _vae_res(sd, prefix, dtype):
+    p = {
+        "norm1": _vae_norm(sd, prefix + ".norm1", dtype),
+        "conv1": _conv3d_tap(sd, prefix + ".conv1", dtype),
+        "norm2": _vae_norm(sd, prefix + ".norm2", dtype),
+        "conv2": _conv3d_tap(sd, prefix + ".conv2", dtype),
+    }
+    if prefix + ".conv_shortcut.weight" in sd:
+        p["shortcut"] = _conv3d_tap(sd, prefix + ".conv_shortcut", dtype)
+    return p
+
+
+def _vae_attn(sd, prefix, dtype):
+    return {
+        "norm": _vae_norm(sd, prefix + ".norm", dtype),
+        "to_qkv": _conv3d_tap(sd, prefix + ".to_qkv", dtype),
+        "proj": _conv3d_tap(sd, prefix + ".proj", dtype),
+    }
+
+
+def _vae_mid(sd, prefix, dtype):
+    return {
+        "res0": _vae_res(sd, prefix + ".resnets.0", dtype),
+        "attn": _vae_attn(sd, prefix + ".attentions.0", dtype),
+        "res1": _vae_res(sd, prefix + ".resnets.1", dtype),
+    }
+
+
+def vae_from_torch(sd: dict, dtype=jnp.bfloat16, num_res_blocks: int = 2,
+                   num_stages: int = 4):
+    """Convert a Qwen-Image VAE state dict to the 2D image-mode pytree.
+
+    Encoder down_blocks is a flat ModuleList: per stage `num_res_blocks`
+    residual blocks then (except the last stage) a downsample module
+    (qwen_image_vae.py:387-400).  Decoder up_blocks is structured
+    (qwen_image_vae.py:569-589).  Temporal `time_conv` weights of the 3D
+    resample modules are intentionally dropped (dead in image mode).
+    """
+    enc_stages = []
+    idx = 0
+    for s in range(num_stages):
+        stage = {"res": [
+            _vae_res(sd, f"encoder.down_blocks.{idx + r}", dtype)
+            for r in range(num_res_blocks)
+        ]}
+        idx += num_res_blocks
+        if s != num_stages - 1:
+            stage["down"] = _conv3d_tap(sd, f"encoder.down_blocks.{idx}.resample.1", dtype)
+            idx += 1
+        enc_stages.append(stage)
+
+    dec_stages = []
+    for s in range(num_stages):
+        stage = {"res": [
+            _vae_res(sd, f"decoder.up_blocks.{s}.resnets.{r}", dtype)
+            for r in range(num_res_blocks + 1)
+        ]}
+        if f"decoder.up_blocks.{s}.upsamplers.0.resample.1.weight" in sd:
+            stage["up"] = _conv3d_tap(sd, f"decoder.up_blocks.{s}.upsamplers.0.resample.1", dtype)
+        dec_stages.append(stage)
+
+    return {
+        "encoder": {
+            "conv_in": _conv3d_tap(sd, "encoder.conv_in", dtype),
+            "stages": enc_stages,
+            "mid": _vae_mid(sd, "encoder.mid_block", dtype),
+            "norm_out": _vae_norm(sd, "encoder.norm_out", dtype),
+            "conv_out": _conv3d_tap(sd, "encoder.conv_out", dtype),
+        },
+        "decoder": {
+            "conv_in": _conv3d_tap(sd, "decoder.conv_in", dtype),
+            "mid": _vae_mid(sd, "decoder.mid_block", dtype),
+            "stages": dec_stages,
+            "norm_out": _vae_norm(sd, "decoder.norm_out", dtype),
+            "conv_out": _conv3d_tap(sd, "decoder.conv_out", dtype),
+        },
+        "quant_conv": _conv3d_tap(sd, "quant_conv", dtype),
+        "post_quant_conv": _conv3d_tap(sd, "post_quant_conv", dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Adapter converters (pipelines/helpers.py modules)
+# ---------------------------------------------------------------------------
+
+def _ln_p(sd, prefix, dtype):
+    return {"scale": _t(sd, prefix + ".weight", dtype),
+            "bias": _t(sd, prefix + ".bias", dtype)}
+
+
+def perceiver_from_torch(sd: dict, prefix: str = "", dtype=jnp.float32):
+    """PerceiverResampler state dict -> pytree (helpers.py:67-91 key space)."""
+    pfx = prefix + "." if prefix and not prefix.endswith(".") else prefix
+    depth = 1 + max(int(k[len(pfx) + 7:].split(".")[0])
+                    for k in sd if k.startswith(pfx + "layers."))
+    layers = []
+    for i in range(depth):
+        a = f"{pfx}layers.{i}.0"
+        f = f"{pfx}layers.{i}.1"
+        layers.append({
+            "attn": {
+                "norm_media": _ln_p(sd, a + ".norm_media", dtype),
+                "norm_latents": _ln_p(sd, a + ".norm_latents", dtype),
+                "to_q": {"w": _t(sd, a + ".to_q.weight", dtype).T},
+                "to_kv": {"w": _t(sd, a + ".to_kv.weight", dtype).T},
+                "to_out": {"w": _t(sd, a + ".to_out.weight", dtype).T},
+            },
+            "ff": {
+                "norm": _ln_p(sd, f + ".net.0", dtype),
+                "fc1": _lin(sd, f + ".net.1", dtype),
+                "fc2": _lin(sd, f + ".net.3", dtype),
+            },
+        })
+    return {
+        "latents": _t(sd, pfx + "latents", dtype),
+        "pos_emb": _t(sd, pfx + "pos_emb.weight", dtype),
+        "layers": layers,
+        "norm": _ln_p(sd, pfx + "norm", dtype),
+    }
+
+
+def visual_thinking_from_torch(sd: dict, prefix: str = "", dtype=jnp.float32):
+    """VisualThinkingAdapter (net.0 / net.2 linears)."""
+    pfx = prefix + "." if prefix and not prefix.endswith(".") else prefix
+    return {"fc1": _lin(sd, pfx + "net.0", dtype), "fc2": _lin(sd, pfx + "net.2", dtype)}
+
+
+def dual_adapter_from_torch(sd: dict, prefix: str = "", dtype=jnp.float32):
+    """VisualThinkingDualAdapter (head_dino.0/2, head_vae.0/2)."""
+    pfx = prefix + "." if prefix and not prefix.endswith(".") else prefix
+    return {
+        "head_dino": {"fc1": _lin(sd, pfx + "head_dino.0", dtype),
+                      "fc2": _lin(sd, pfx + "head_dino.2", dtype)},
+        "head_vae": {"fc1": _lin(sd, pfx + "head_vae.0", dtype),
+                     "fc2": _lin(sd, pfx + "head_vae.2", dtype)},
+    }
