@@ -263,3 +263,45 @@ def dual_adapter_from_torch(sd: dict, prefix: str = "", dtype=jnp.float32):
         "head_vae": {"fc1": _lin(sd, pfx + "head_vae.0", dtype),
                      "fc2": _lin(sd, pfx + "head_vae.2", dtype)},
     }
+
+
+# ---------------------------------------------------------------------------
+# DINOv2 converter (HF Dinov2WithRegistersModel key space)
+# ---------------------------------------------------------------------------
+
+def dinov2_from_torch(sd: dict, dtype=jnp.float32, num_layers: int | None = None):
+    """HF Dinov2WithRegisters state dict -> pytree for models/dinov2.py."""
+    if num_layers is None:
+        num_layers = 1 + max(int(k.split(".")[2]) for k in sd
+                             if k.startswith("encoder.layer."))
+
+    def layer(i):
+        p = f"encoder.layer.{i}"
+        return {
+            "norm1": _ln_p(sd, p + ".norm1", dtype),
+            "qkv": _fused_qkv(sd, [p + ".attention.attention.query",
+                                   p + ".attention.attention.key",
+                                   p + ".attention.attention.value"], dtype),
+            "out": _lin(sd, p + ".attention.output.dense", dtype),
+            "ls1": _t(sd, p + ".layer_scale1.lambda1", dtype),
+            "norm2": _ln_p(sd, p + ".norm2", dtype),
+            "fc1": _lin(sd, p + ".mlp.fc1", dtype),
+            "fc2": _lin(sd, p + ".mlp.fc2", dtype),
+            "ls2": _t(sd, p + ".layer_scale2.lambda1", dtype),
+        }
+
+    import jax
+
+    layers = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *[layer(i) for i in range(num_layers)])
+    pw = np.asarray(_t(sd, "embeddings.patch_embeddings.projection.weight", jnp.float32))
+    return {
+        "cls_token": _t(sd, "embeddings.cls_token", dtype),
+        "register_tokens": _t(sd, "embeddings.register_tokens", dtype),
+        "pos_emb": _t(sd, "embeddings.position_embeddings", dtype),
+        "patch_embed": {
+            "w": jnp.asarray(np.transpose(pw, (2, 3, 1, 0)), dtype=dtype),
+            "b": _t(sd, "embeddings.patch_embeddings.projection.bias", dtype),
+        },
+        "layers": layers,
+    }

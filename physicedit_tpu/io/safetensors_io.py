@@ -1,0 +1,102 @@
+"""Safetensors -> JAX loading and state-dict hashing / model detection.
+
+Replaces the reference's ModelManager weight-IO layer
+(diffsynth/models/model_manager.py + models/utils.py:55-182) without any
+torch dependency: tensors load straight into JAX arrays via safetensors'
+flax framework (bf16-safe, zero-copy mmap on host).
+
+The hash-based architecture detection reproduces the reference's scheme
+exactly (md5 over sorted "key:shape,key" strings, models/utils.py:148-182)
+so the published checkpoint hashes identify the same model families:
+
+    0319a1cb19835fb510907dd3367c95ff  qwen_image_dit
+    8004730443f55db63092006dd9f7110e  qwen_image_text_encoder (Qwen2.5-VL)
+    ed4ea5824d55ec3107b09815e318123a  qwen_image_vae
+    073bce9cf969e317e5662cd570c3e79c  qwen_image_blockwise_controlnet
+    a9e54e480a628f0b956a688a81c33bab  qwen_image_blockwise_controlnet (inpaint)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import jax.numpy as jnp
+
+
+def load_safetensors(path: str) -> dict:
+    """Load one .safetensors file into a flat dict of jnp arrays."""
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="flax") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+def load_state_dict(path) -> dict:
+    """Load a file, list of shards, or folder of shards into one flat dict."""
+    if isinstance(path, (list, tuple)):
+        sd = {}
+        for p in path:
+            sd.update(load_state_dict(p))
+        return sd
+    if os.path.isdir(path):
+        sd = {}
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".safetensors"):
+                sd.update(load_safetensors(os.path.join(path, name)))
+        return sd
+    return load_safetensors(path)
+
+
+def state_dict_keys_str(sd: dict, with_shape: bool = True) -> str:
+    """Canonical key string, identical to the reference algorithm
+    (models/utils.py:148-161): per tensor both "key:d0_d1_..." and "key"
+    entries, sorted, comma-joined; nested dicts become "key|<recursive>"."""
+    keys = []
+    for key, value in sd.items():
+        if not isinstance(key, str):
+            continue
+        if isinstance(value, dict):
+            keys.append(key + "|" + state_dict_keys_str(value, with_shape))
+        elif hasattr(value, "shape"):
+            if with_shape:
+                keys.append(key + ":" + "_".join(map(str, list(value.shape))))
+            keys.append(key)
+    keys.sort()
+    return ",".join(keys)
+
+
+def hash_state_dict_keys(sd: dict, with_shape: bool = True) -> str:
+    return hashlib.md5(
+        state_dict_keys_str(sd, with_shape).encode("utf-8")).hexdigest()
+
+
+# hash -> canonical model name (reference configs/model_config.py:15-28)
+KNOWN_HASHES = {
+    "0319a1cb19835fb510907dd3367c95ff": "qwen_image_dit",
+    "8004730443f55db63092006dd9f7110e": "qwen_image_text_encoder",
+    "ed4ea5824d55ec3107b09815e318123a": "qwen_image_vae",
+    "073bce9cf969e317e5662cd570c3e79c": "qwen_image_blockwise_controlnet",
+    "a9e54e480a628f0b956a688a81c33bab": "qwen_image_blockwise_controlnet_inpaint",
+}
+
+
+def detect_model_name(sd: dict) -> str | None:
+    """Identify a state dict by its key/shape hash; falls back to key
+    heuristics so finetuned variants with extra keys still resolve."""
+    h = hash_state_dict_keys(sd)
+    if h in KNOWN_HASHES:
+        return KNOWN_HASHES[h]
+    keys = sd.keys()
+    if any(k.startswith("transformer_blocks.") and ".attn.add_q_proj." in k for k in keys):
+        return "qwen_image_dit"
+    if any(k.startswith("encoder.down_blocks.") for k in keys) and "quant_conv.weight" in keys:
+        return "qwen_image_vae"
+    if any("visual.blocks." in k for k in keys) or any("language_model" in k for k in keys):
+        return "qwen_image_text_encoder"
+    if any(k.startswith("controlnet_blocks.") for k in keys):
+        return "qwen_image_blockwise_controlnet"
+    return None

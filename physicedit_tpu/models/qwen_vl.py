@@ -1,0 +1,265 @@
+"""Qwen2.5-VL-7B conditioning encoder / physical-reasoning generator, TPU-native.
+
+Rebuilds the model behind the reference's QwenImageTextEncoderWithDecode
+(diffsynth/models/qwen_image_text_encoder_withdecode.py:6-146 — an HF
+Qwen2_5_VLForConditionalGeneration subclass) as functional JAX modules:
+
+- text decoder: 28 layers, hidden 3584, 28 Q / 4 KV heads (GQA), SwiGLU MLP
+  18944, RMSNorm, M-RoPE with sections [16, 24, 24] over (t, h, w) position
+  ids, rope_theta 1e6, vocab 152064,
+- vision tower (models/qwen_vl_vision.py): 32-layer ViT with windowed
+  attention and a 2x2 spatial-merge projector to 3584,
+- `edit_forward` equivalent: last-layer hidden states for prompt encoding
+  (qwen_image_physical.py:769,795),
+- greedy KV-cache decoding for the inference-time physical reasoner
+  (qwen_image_physical.py:859-864).
+
+Layers are stacked and scanned; the KV cache is a preallocated ring-free
+[L, B, S_max, KV, D] buffer updated with dynamic_update_slice — XLA-friendly
+static shapes throughout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from physicedit_tpu.core.params import linear
+from physicedit_tpu.ops.norms import rms_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenVLTextConfig:
+    hidden_size: int = 3584
+    num_layers: int = 28
+    num_heads: int = 28
+    num_kv_heads: int = 4
+    head_dim: int = 128
+    intermediate_size: int = 18944
+    vocab_size: int = 152064
+    rope_theta: float = 1e6
+    mrope_section: tuple = (16, 24, 24)
+    eps: float = 1e-6
+    image_token_id: int = 151655
+    video_token_id: int = 151656
+    vision_start_token_id: int = 151652
+    eos_token_id: int = 151645
+
+
+QWEN25_VL_7B_TEXT = QwenVLTextConfig()
+
+TINY_TEXT = QwenVLTextConfig(
+    hidden_size=64, num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+    intermediate_size=128, vocab_size=512)
+
+
+# ---------------------------------------------------------------------------
+# M-RoPE
+# ---------------------------------------------------------------------------
+
+def mrope_cos_sin(position_ids: jax.Array, cfg: QwenVLTextConfig):
+    """position_ids: [3, B, S] (t, h, w) -> cos, sin [B, S, head_dim].
+
+    Section-merged per HF apply_multimodal_rotary_pos_emb: frequency dims
+    [0:16) take t positions, [16:40) h, [40:64) w; the second half of the
+    head dim duplicates the first (emb = cat(freqs, freqs)).
+    """
+    half = cfg.head_dim // 2
+    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, cfg.head_dim, 2) / cfg.head_dim))
+    inv_freq = jnp.asarray(inv_freq, jnp.float32)
+    freqs = position_ids.astype(jnp.float32)[..., None] * inv_freq  # [3, B, S, half]
+
+    sections = np.cumsum([0] + list(cfg.mrope_section))
+    parts = [freqs[i, ..., sections[i]:sections[i + 1]] for i in range(3)]
+    merged = jnp.concatenate(parts, axis=-1)  # [B, S, half]
+    emb = jnp.concatenate([merged, merged], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope_half(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """HF rotate-half RoPE. x: [B, S, N, D]; cos/sin: [B, S, D]."""
+    c = cos[:, :, None, :].astype(x.dtype)
+    s = sin[:, :, None, :].astype(x.dtype)
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    return x * c + rot * s
+
+
+# ---------------------------------------------------------------------------
+# Decoder layers
+# ---------------------------------------------------------------------------
+
+def _gqa_attention(q, k, v, mask_bias):
+    """q: [B, S, N, D]; k/v: [B, T, KV, D]; mask_bias: [B, 1, S, T] additive."""
+    b, s, n, d = q.shape
+    kv = k.shape[2]
+    rep = n // kv
+    k = jnp.repeat(k, rep, axis=2)
+    v = jnp.repeat(v, rep, axis=2)
+    logits = jnp.einsum("bsnd,btnd->bnst", q, k,
+                        preferred_element_type=jnp.float32) / (d ** 0.5)
+    logits = logits + mask_bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bnst,btnd->bsnd", probs, v).reshape(b, s, n * d)
+
+
+def _mlp(p, x):
+    return linear(p["down"], jax.nn.silu(linear(p["gate"], x)) * linear(p["up"], x))
+
+
+def _layer(p, cfg: QwenVLTextConfig, x, cos, sin, mask_bias, kv_cache=None,
+           cache_pos=None):
+    """One decoder layer.  With kv_cache=(k_buf, v_buf) [B, S_max, KV, D] and
+    cache_pos (scalar), runs incrementally and returns the updated cache."""
+    b, s, _ = x.shape
+    n, kvh, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    h = rms_norm(x, p["ln1"]["scale"], cfg.eps)
+    q = linear(p["q"], h).reshape(b, s, n, d)
+    k = linear(p["k"], h).reshape(b, s, kvh, d)
+    v = linear(p["v"], h).reshape(b, s, kvh, d)
+    q = apply_rope_half(q, cos, sin)
+    k = apply_rope_half(k, cos, sin)
+
+    if kv_cache is not None:
+        k_buf, v_buf = kv_cache
+        k_buf = jax.lax.dynamic_update_slice(k_buf, k.astype(k_buf.dtype), (0, cache_pos, 0, 0))
+        v_buf = jax.lax.dynamic_update_slice(v_buf, v.astype(v_buf.dtype), (0, cache_pos, 0, 0))
+        k_all, v_all = k_buf, v_buf
+        new_cache = (k_buf, v_buf)
+    else:
+        k_all, v_all = k, v
+        new_cache = None
+
+    attn = _gqa_attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype), mask_bias)
+    x = x + linear(p["o"], attn)
+    x = x + _mlp(p["mlp"], rms_norm(x, p["ln2"]["scale"], cfg.eps))
+    return x, new_cache
+
+
+def _causal_bias(attn_mask: jax.Array, s_q: int, dtype=jnp.float32):
+    """[B, T] padding mask -> additive [B, 1, S_q, T] causal+padding bias.
+    Assumes queries are the last s_q positions of the T-length sequence."""
+    b, t = attn_mask.shape
+    q_pos = jnp.arange(t - s_q, t)[:, None]
+    k_pos = jnp.arange(t)[None, :]
+    causal = k_pos <= q_pos
+    ok = causal[None] & attn_mask[:, None, :].astype(bool)
+    return jnp.where(ok, 0.0, -1e30)[:, None].astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def text_forward(params, cfg: QwenVLTextConfig, inputs_embeds, position_ids,
+                 attn_mask):
+    """Full-sequence forward -> last-layer hidden states [B, S, D].
+
+    inputs_embeds: [B, S, D] (token embeddings with vision features already
+    scattered in); position_ids: [3, B, S]; attn_mask: [B, S] bool.
+    """
+    cos, sin = mrope_cos_sin(position_ids, cfg)
+    bias = _causal_bias(attn_mask, inputs_embeds.shape[1])
+
+    def body(x, layer_params):
+        x, _ = _layer(layer_params, cfg, x, cos, sin, bias)
+        return x, None
+
+    x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
+    return rms_norm(x, params["norm"]["scale"], cfg.eps)
+
+
+def embed_tokens(params, input_ids):
+    return params["embed"][input_ids]
+
+
+def lm_logits(params, hidden):
+    return linear(params["lm_head"], hidden)
+
+
+# ---------------------------------------------------------------------------
+# Greedy KV-cache decoding (the inference-time physical reasoner)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_total_len"))
+def prefill(params, cfg: QwenVLTextConfig, inputs_embeds, position_ids,
+            attn_mask, max_total_len: int):
+    """Run the prompt, build the KV cache padded to max_total_len.
+
+    Returns (last_token_logits [B, V], kv_caches [L, 2, B, S_max, KV, D],
+    last_hidden [B, S, D]).
+    """
+    b, s, _ = inputs_embeds.shape
+    cos, sin = mrope_cos_sin(position_ids, cfg)
+    pad = max_total_len - s
+    full_mask = jnp.concatenate(
+        [attn_mask.astype(bool), jnp.zeros((b, pad), bool)], axis=1)
+    bias = _causal_bias(full_mask, s)[:, :, :, :]
+    # queries are at absolute positions [0, s); rebuild bias accordingly
+    q_pos = jnp.arange(s)[:, None]
+    k_pos = jnp.arange(max_total_len)[None, :]
+    ok = (k_pos <= q_pos)[None] & full_mask[:, None, :]
+    bias = jnp.where(ok, 0.0, -1e30)[:, None].astype(jnp.float32)
+
+    kvh, d = cfg.num_kv_heads, cfg.head_dim
+
+    def body(x, layer_params):
+        k_buf = jnp.zeros((b, max_total_len, kvh, d), inputs_embeds.dtype)
+        v_buf = jnp.zeros((b, max_total_len, kvh, d), inputs_embeds.dtype)
+        x, (k_buf, v_buf) = _layer(layer_params, cfg, x, cos, sin, bias,
+                                   kv_cache=(k_buf, v_buf), cache_pos=0)
+        return x, (k_buf, v_buf)
+
+    x, caches = jax.lax.scan(body, inputs_embeds, params["layers"])
+    hidden = rms_norm(x, params["norm"]["scale"], cfg.eps)
+    logits = lm_logits(params, hidden[:, -1])
+    return logits, caches, hidden
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+def greedy_decode(params, cfg: QwenVLTextConfig, caches, first_token,
+                  start_pos, start_rope_pos, attn_len, max_new_tokens: int):
+    """Greedy decode loop (lax.while semantics via scan + done flag).
+
+    caches: [L]-stacked (k_buf, v_buf) from prefill.
+    first_token: [B] first sampled token.  start_pos: scalar int (cache write
+    position).  start_rope_pos: [B] rope position of the first new token
+    (text rope: all three components equal).  attn_len: [B] number of valid
+    cache entries before decoding.
+    Returns tokens [B, max_new_tokens] (eos-padded) and done mask.
+    """
+    b = first_token.shape[0]
+    s_max = jax.tree_util.tree_leaves(caches)[0].shape[2]
+
+    def step(carry, _):
+        tok, pos, rope_pos, caches, done = carry
+        x = embed_tokens(params, tok)[:, None, :]  # [B, 1, D]
+        pids = jnp.broadcast_to(rope_pos[None, :, None], (3, b, 1))
+        cos, sin = mrope_cos_sin(pids, cfg)
+
+        k_pos = jnp.arange(s_max)[None, :]
+        ok = k_pos <= pos  # causal over cache (pos = write index)
+        bias = jnp.where(ok, 0.0, -1e30)[:, None, None, :].astype(jnp.float32)
+        bias = jnp.broadcast_to(bias, (b, 1, 1, s_max))
+
+        def body(x, inp):
+            layer_params, cache = inp
+            x, cache = _layer(layer_params, cfg, x, cos, sin, bias,
+                              kv_cache=cache, cache_pos=pos)
+            return x, cache
+
+        x, caches = jax.lax.scan(body, x, (params["layers"], caches))
+        hidden = rms_norm(x, params["norm"]["scale"], cfg.eps)
+        logits = lm_logits(params, hidden[:, -1])
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, cfg.eos_token_id, nxt)
+        done = done | (nxt == cfg.eos_token_id)
+        return (nxt, pos + 1, rope_pos + 1, caches, done), tok
+
+    done0 = first_token == cfg.eos_token_id
+    (_, _, _, _, done), toks = jax.lax.scan(
+        step, (first_token, start_pos, start_rope_pos, caches, done0),
+        None, length=max_new_tokens)
+    return jnp.moveaxis(toks, 0, 1), done

@@ -8,7 +8,9 @@ virtual devices (the JAX analogue of a fake multi-chip backend).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU platform: the ambient environment may export
+# JAX_PLATFORMS=axon (a tunnelled TPU), and tests must never contend for it.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # XLA-CPU's default matmul precision is bf16-fastmath (errors ~1e-2); parity
 # tests need true fp32 accumulation.  TPU production code sets dtypes

@@ -1,0 +1,86 @@
+"""Denoise-scan semantics: scan output == explicit python step loop."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from physicedit_tpu.models import dit as jdit
+from physicedit_tpu.models import adapters as jad
+from physicedit_tpu.ops import rope as jrope
+from physicedit_tpu.ops.patchify import patchify, unpatchify
+from physicedit_tpu.sampling import flow_match as fm
+from physicedit_tpu.sampling.denoise import denoise, _rewrite_special_tokens
+
+
+def _setup():
+    cfg = jdit.TINY_CONFIG
+    key = jax.random.PRNGKey(0)
+    dit_params = jdit.init_dit_params(key, cfg, jnp.float32)
+    adapter_params = jad.init_dual_adapter_params(
+        jax.random.PRNGKey(1), cfg.txt_in_dim, cfg.txt_in_dim)
+    h = w = 8  # latent grid
+    s_t = 12
+    n_special = 4
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.normal(size=(1, h, w, 16)).astype(np.float32))
+    edit_tokens = jnp.asarray(rng.normal(size=(1, 16, 64)).astype(np.float32))
+    prompt_emb = jnp.asarray(rng.normal(size=(2, s_t, cfg.txt_in_dim)).astype(np.float32))
+    txt_mask = jnp.asarray(np.array([[1] * 12, [1] * 8 + [0] * 4]), bool)
+    special_idx = jnp.asarray(np.array([[5, 6, 7, 8], [3, 4, 5, 6]]), jnp.int32)
+    ropes = jrope.build_rope_tables([(1, h // 2, w // 2), (1, h // 2, w // 2)],
+                                    s_t, axes_dim=(16, 24, 24))
+    sched = fm.build_schedule(5, fm.QWEN_IMAGE_CONFIG, dynamic_shift_len=(h // 2) ** 2)
+    return cfg, dit_params, adapter_params, latents, edit_tokens, prompt_emb, \
+        txt_mask, special_idx, ropes, sched, (h, w)
+
+
+def test_denoise_matches_python_loop():
+    (cfg, dit_params, adapter_params, latents, edit_tokens, prompt_emb,
+     txt_mask, special_idx, ropes, sched, (h, w)) = _setup()
+    img_cos, img_sin, txt_cos, txt_sin = ropes
+    t_min, t_max = 20.0, 1000.0
+    cfg_scale = 4.0
+
+    out = denoise(dit_params, cfg, latents, edit_tokens, prompt_emb, txt_mask,
+                  img_cos, img_sin, txt_cos, txt_sin,
+                  jnp.asarray(sched.sigmas), jnp.asarray(sched.sigmas_next),
+                  jnp.asarray(sched.timesteps), jnp.asarray(cfg_scale),
+                  latent_hw=(h, w), adapter_params=adapter_params,
+                  special_idx=special_idx, t_min=t_min, t_max=t_max)
+
+    # Explicit python loop with the same primitives.
+    lat = latents
+    p_emb = prompt_emb
+    for i in range(sched.num_steps):
+        t = jnp.asarray(sched.timesteps[i])
+        p_emb = _rewrite_special_tokens(adapter_params, p_emb, special_idx,
+                                        jnp.broadcast_to(t, (2,)), t_min, t_max)
+        toks = jnp.concatenate([patchify(lat), edit_tokens], axis=1)
+        toks = jnp.broadcast_to(toks, (2,) + toks.shape[1:])
+        o = jdit.dit_forward(dit_params, cfg, toks, p_emb,
+                             jnp.broadcast_to(t / 1000.0, (2,)),
+                             img_cos, img_sin, txt_cos, txt_sin,
+                             txt_key_mask=txt_mask)
+        v = unpatchify(o[:, : (h // 2) * (w // 2)], h, w)
+        v = v[1:] + cfg_scale * (v[:1] - v[1:])
+        lat = lat + v * (sched.sigmas_next[i] - sched.sigmas[i])
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(lat), rtol=2e-4, atol=2e-4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_denoise_no_cfg_no_adapter():
+    (cfg, dit_params, _, latents, _, prompt_emb, txt_mask, _, ropes,
+     sched, (h, w)) = _setup()
+    img_cos, img_sin, txt_cos, txt_sin = ropes
+    # Single prompt, no edit tokens, no adapter: rope table must only cover
+    # the base image grid.
+    ropes1 = jrope.build_rope_tables([(1, h // 2, w // 2)], prompt_emb.shape[1],
+                                     axes_dim=(16, 24, 24))
+    out = denoise(dit_params, cfg, latents, None, prompt_emb[:1], txt_mask[:1],
+                  ropes1[0], ropes1[1], ropes1[2], ropes1[3],
+                  jnp.asarray(sched.sigmas), jnp.asarray(sched.sigmas_next),
+                  jnp.asarray(sched.timesteps), jnp.asarray(1.0),
+                  latent_hw=(h, w))
+    assert out.shape == latents.shape
+    assert np.isfinite(np.asarray(out)).all()
