@@ -305,3 +305,86 @@ def dinov2_from_torch(sd: dict, dtype=jnp.float32, num_layers: int | None = None
         },
         "layers": layers,
     }
+
+
+# ---------------------------------------------------------------------------
+# Qwen2.5-VL converters (HF Qwen2_5_VLForConditionalGeneration key space,
+# after the reference's remap visual.* -> model.visual.*, model.* ->
+# model.language_model.*  — qwen_image_text_encoder_withdecode.py:287-296)
+# ---------------------------------------------------------------------------
+
+def qwen_vl_text_from_torch(sd: dict, dtype=jnp.bfloat16,
+                            num_layers: int | None = None):
+    """Text decoder + lm_head -> pytree for models/qwen_vl.py."""
+    base = "model.language_model."
+    if num_layers is None:
+        num_layers = 1 + max(int(k[len(base) + 7:].split(".")[0])
+                             for k in sd if k.startswith(base + "layers."))
+
+    def layer(i):
+        p = f"{base}layers.{i}"
+        return {
+            "ln1": {"scale": _t(sd, p + ".input_layernorm.weight", dtype)},
+            "q": _lin(sd, p + ".self_attn.q_proj", dtype),
+            "k": _lin(sd, p + ".self_attn.k_proj", dtype),
+            "v": _lin(sd, p + ".self_attn.v_proj", dtype),
+            "o": _lin(sd, p + ".self_attn.o_proj", dtype),
+            "ln2": {"scale": _t(sd, p + ".post_attention_layernorm.weight", dtype)},
+            "mlp": {
+                "gate": _lin(sd, p + ".mlp.gate_proj", dtype),
+                "up": _lin(sd, p + ".mlp.up_proj", dtype),
+                "down": _lin(sd, p + ".mlp.down_proj", dtype),
+            },
+        }
+
+    import jax
+
+    layers = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *[layer(i) for i in range(num_layers)])
+    return {
+        "embed": _t(sd, base + "embed_tokens.weight", dtype),
+        "layers": layers,
+        "norm": {"scale": _t(sd, base + "norm.weight", dtype)},
+        "lm_head": _lin(sd, "lm_head", dtype),
+    }
+
+
+def qwen_vl_vision_from_torch(sd: dict, dtype=jnp.bfloat16,
+                              num_layers: int | None = None):
+    """Vision tower + merger -> pytree for models/qwen_vl_vision.py."""
+    base = "model.visual."
+    if num_layers is None:
+        num_layers = 1 + max(int(k[len(base) + 7:].split(".")[0])
+                             for k in sd if k.startswith(base + "blocks."))
+
+    def block(i):
+        p = f"{base}blocks.{i}"
+        return {
+            "norm1": {"scale": _t(sd, p + ".norm1.weight", dtype)},
+            "qkv": _lin(sd, p + ".attn.qkv", dtype),
+            "proj": _lin(sd, p + ".attn.proj", dtype),
+            "norm2": {"scale": _t(sd, p + ".norm2.weight", dtype)},
+            "mlp": {
+                "gate": _lin(sd, p + ".mlp.gate_proj", dtype),
+                "up": _lin(sd, p + ".mlp.up_proj", dtype),
+                "down": _lin(sd, p + ".mlp.down_proj", dtype),
+            },
+        }
+
+    import jax
+
+    blocks = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *[block(i) for i in range(num_layers)])
+    # patch_embed.proj: Conv3d [hidden, 3, T=2, 14, 14] applied to flattened
+    # patches -> store as a dense matrix [3*2*14*14, hidden].
+    pw = np.asarray(_t(sd, base + "patch_embed.proj.weight", jnp.float32))
+    flat = pw.reshape(pw.shape[0], -1).T
+    return {
+        "patch_embed": {"w": jnp.asarray(flat, dtype=dtype)},
+        "blocks": blocks,
+        "merger": {
+            "ln_q": {"scale": _t(sd, base + "merger.ln_q.weight", dtype)},
+            "fc1": _lin(sd, base + "merger.mlp.0", dtype),
+            "fc2": _lin(sd, base + "merger.mlp.2", dtype),
+        },
+    }

@@ -196,8 +196,7 @@ def prefill(params, cfg: QwenVLTextConfig, inputs_embeds, position_ids,
     pad = max_total_len - s
     full_mask = jnp.concatenate(
         [attn_mask.astype(bool), jnp.zeros((b, pad), bool)], axis=1)
-    bias = _causal_bias(full_mask, s)[:, :, :, :]
-    # queries are at absolute positions [0, s); rebuild bias accordingly
+    # queries sit at absolute positions [0, s) of the padded cache axis
     q_pos = jnp.arange(s)[:, None]
     k_pos = jnp.arange(max_total_len)[None, :]
     ok = (k_pos <= q_pos)[None] & full_mask[:, None, :]
@@ -220,15 +219,16 @@ def prefill(params, cfg: QwenVLTextConfig, inputs_embeds, position_ids,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
 def greedy_decode(params, cfg: QwenVLTextConfig, caches, first_token,
-                  start_pos, start_rope_pos, attn_len, max_new_tokens: int):
-    """Greedy decode loop (lax.while semantics via scan + done flag).
+                  start_pos, start_rope_pos, max_new_tokens: int):
+    """Greedy decode loop (scan + done flag; static shapes throughout).
 
     caches: [L]-stacked (k_buf, v_buf) from prefill.
-    first_token: [B] first sampled token.  start_pos: scalar int (cache write
-    position).  start_rope_pos: [B] rope position of the first new token
-    (text rope: all three components equal).  attn_len: [B] number of valid
-    cache entries before decoding.
-    Returns tokens [B, max_new_tokens] (eos-padded) and done mask.
+    first_token: [B] first sampled token (argmax of the prefill logits).
+    start_pos: scalar int cache-write position (= prompt length; assumes the
+    unpadded single-sequence decode the pipeline uses).
+    start_rope_pos: [B] rope position of the first new token (text rope: all
+    three components equal).
+    Returns tokens [B, max_new_tokens] (eos-padded after stop) and done mask.
     """
     b = first_token.shape[0]
     s_max = jax.tree_util.tree_leaves(caches)[0].shape[2]

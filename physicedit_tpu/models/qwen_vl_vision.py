@@ -1,0 +1,215 @@
+"""Qwen2.5-VL vision tower, TPU-native.
+
+Rebuilds the HF Qwen2_5_VisionTransformer the reference model embeds
+(qwen_image_text_encoder_withdecode.py:114-138 config: depth 32, hidden
+1280, 16 heads, patch 14, window 112, full attention at {7,15,23,31},
+spatial-merge 2, out 3584).
+
+TPU-first structure:
+- all ragged bookkeeping (window permutation, per-window segment ids, 2D
+  rope tables) is computed host-side in NumPy per image shape; the device
+  program is a fixed-shape scan over 32 stacked blocks,
+- windowed attention uses segment-id masking over the dense [N, N] score
+  matrix (window sizes are tiny — 64 patches — and N is a few hundred for
+  the 384-square conditioning images, so masked dense attention on the MXU
+  beats any gather-based varlen scheme),
+- per-layer full-vs-window mask choice is a scanned boolean selecting
+  between two precomputed additive biases.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from physicedit_tpu.core.params import linear
+from physicedit_tpu.ops.norms import rms_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenVLVisionConfig:
+    depth: int = 32
+    hidden_size: int = 1280
+    num_heads: int = 16
+    intermediate_size: int = 3420
+    patch_size: int = 14
+    temporal_patch_size: int = 2
+    spatial_merge_size: int = 2
+    window_size: int = 112
+    fullatt_block_indexes: tuple = (7, 15, 23, 31)
+    out_hidden_size: int = 3584
+    rope_theta: float = 10000.0
+    eps: float = 1e-6
+
+    @property
+    def head_dim(self):
+        return self.hidden_size // self.num_heads
+
+    @property
+    def merge_unit(self):
+        return self.spatial_merge_size ** 2
+
+
+QWEN25_VL_VISION = QwenVLVisionConfig()
+
+TINY_VISION = QwenVLVisionConfig(depth=2, hidden_size=32, num_heads=2,
+                                 intermediate_size=64, window_size=28,
+                                 fullatt_block_indexes=(1,), out_hidden_size=64)
+
+
+# ---------------------------------------------------------------------------
+# Host-side geometry (NumPy) — one call per unique image-grid signature
+# ---------------------------------------------------------------------------
+
+def vision_geometry(cfg: QwenVLVisionConfig, grid_thw: list[tuple[int, int, int]]):
+    """Precompute permutation, segment ids, and rope tables.
+
+    Returns dict with:
+      window_index  [n_merged] permutation of merged-token indices
+      reverse_index [n_merged] inverse permutation (applied after merger)
+      win_seg       [N] window id per patch token (in permuted order)
+      full_seg      [N] image id per patch token (in permuted order)
+      cos, sin      [N, head_dim] rope tables (in permuted order)
+    """
+    m = cfg.spatial_merge_size
+    win = cfg.window_size // m // cfg.patch_size
+
+    pos_ids = []
+    window_index = []
+    win_seg_merged = []
+    full_seg_merged = []
+    base = 0
+    win_id = 0
+    for img_i, (t, h, w) in enumerate(grid_thw):
+        # rope positions in merged-block order (HF rot_pos_emb, modeling:336-363)
+        hpos = np.arange(h)[:, None].repeat(w, 1).reshape(h // m, m, w // m, m)
+        hpos = hpos.transpose(0, 2, 1, 3).reshape(-1)
+        wpos = np.arange(w)[None, :].repeat(h, 0).reshape(h // m, m, w // m, m)
+        wpos = wpos.transpose(0, 2, 1, 3).reshape(-1)
+        pos = np.stack([hpos, wpos], -1)  # [h*w, 2]
+        pos_ids.append(np.tile(pos, (t, 1)))
+
+        # window permutation over merged tokens (HF get_window_index, :365-404)
+        lh, lw = h // m, w // m
+        idx = np.arange(t * lh * lw).reshape(t, lh, lw)
+        pad_h, pad_w = (-lh) % win, (-lw) % win
+        nh, nw = (lh + pad_h) // win, (lw + pad_w) // win
+        padded = np.pad(idx, ((0, 0), (0, pad_h), (0, pad_w)),
+                        constant_values=-100)
+        padded = padded.reshape(t, nh, win, nw, win).transpose(0, 1, 3, 2, 4)
+        padded = padded.reshape(t * nh * nw, win * win)
+        for row in padded:
+            valid = row[row != -100]
+            if valid.size:
+                window_index.append(valid + base)
+                win_seg_merged.append(np.full(valid.size, win_id))
+                win_id += 1
+        full_seg_merged.append(np.full(t * lh * lw, img_i))
+        base += t * lh * lw
+
+    window_index = np.concatenate(window_index)
+    reverse_index = np.argsort(window_index)
+    win_seg_merged = np.concatenate(win_seg_merged)
+    full_seg_merged = np.concatenate(full_seg_merged)[window_index]
+
+    pos_ids = np.concatenate(pos_ids, 0)  # [n_patches, 2]
+    max_grid = max(max(h, w) for _, h, w in grid_thw)
+    half = cfg.head_dim // 2
+    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, half, 2) / half))
+    table = np.outer(np.arange(max_grid), inv_freq)          # [G, half/2]
+    rope = table[pos_ids].reshape(pos_ids.shape[0], -1)       # [n_patches, half]
+
+    mu = cfg.merge_unit
+    n = pos_ids.shape[0]
+    rope = rope.reshape(n // mu, mu, -1)[window_index].reshape(n, -1)
+    emb = np.concatenate([rope, rope], -1)
+
+    expand = lambda seg: np.repeat(seg, mu)
+    return {
+        "window_index": window_index,
+        "reverse_index": reverse_index,
+        "win_seg": expand(win_seg_merged),
+        "full_seg": expand(full_seg_merged),
+        "cos": np.cos(emb).astype(np.float32),
+        "sin": np.sin(emb).astype(np.float32),
+    }
+
+
+def _seg_bias(seg: np.ndarray) -> np.ndarray:
+    """[N] segment ids -> [N, N] additive attention bias."""
+    same = seg[:, None] == seg[None, :]
+    return np.where(same, 0.0, -1e30).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Device program
+# ---------------------------------------------------------------------------
+
+def _block(p, cfg: QwenVLVisionConfig, x, cos, sin, bias):
+    n_tok = x.shape[0]
+    nh, hd = cfg.num_heads, cfg.head_dim
+    h = rms_norm(x, p["norm1"]["scale"], cfg.eps)
+    qkv = linear(p["qkv"], h).reshape(n_tok, 3, nh, hd)
+    q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+
+    def rot(t):
+        tf = t.astype(jnp.float32)
+        half = hd // 2
+        r = jnp.concatenate([-tf[..., half:], tf[..., :half]], -1)
+        return (tf * cos[:, None, :] + r * sin[:, None, :]).astype(t.dtype)
+
+    q, k = rot(q), rot(k)
+    logits = jnp.einsum("qnd,knd->nqk", q, k,
+                        preferred_element_type=jnp.float32) / (hd ** 0.5)
+    logits = logits + bias[None]
+    probs = jax.nn.softmax(logits, -1).astype(v.dtype)
+    out = jnp.einsum("nqk,knd->qnd", probs, v).reshape(n_tok, nh * hd)
+    x = x + linear(p["proj"], out)
+    h = rms_norm(x, p["norm2"]["scale"], cfg.eps)
+    h = linear(p["mlp"]["down"],
+               jax.nn.silu(linear(p["mlp"]["gate"], h)) * linear(p["mlp"]["up"], h))
+    return x + h
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def vision_forward(params, cfg: QwenVLVisionConfig, patches, cos, sin,
+                   win_bias, full_bias, is_full, window_index, reverse_index):
+    """patches: [N, 3*T*P*P] flattened patch pixels (processor layout, in the
+    ORIGINAL merged-block order).  Returns merged features
+    [N / merge_unit, out_hidden] in original order.
+    """
+    x = patches @ params["patch_embed"]["w"].astype(patches.dtype)
+    n = x.shape[0]
+    mu = cfg.merge_unit
+    x = x.reshape(n // mu, mu, -1)[window_index].reshape(n, -1)
+
+    def body(x, inp):
+        block_params, full_flag = inp
+        bias = jnp.where(full_flag, full_bias, win_bias)
+        return _block(block_params, cfg, x, cos, sin, bias), None
+
+    x, _ = jax.lax.scan(body, x, (params["blocks"], is_full))
+
+    x = rms_norm(x, params["merger"]["ln_q"]["scale"], cfg.eps)
+    x = x.reshape(n // mu, mu * cfg.hidden_size)
+    x = linear(params["merger"]["fc2"],
+               jax.nn.gelu(linear(params["merger"]["fc1"], x), approximate=False))
+    return x[reverse_index]
+
+
+def run_vision(params, cfg: QwenVLVisionConfig, patches: jax.Array,
+               grid_thw: list[tuple[int, int, int]]) -> jax.Array:
+    """Convenience wrapper: host geometry + device forward."""
+    g = vision_geometry(cfg, grid_thw)
+    is_full = np.zeros((cfg.depth,), bool)
+    is_full[list(cfg.fullatt_block_indexes)] = True
+    return vision_forward(
+        params, cfg, patches,
+        jnp.asarray(g["cos"]), jnp.asarray(g["sin"]),
+        jnp.asarray(_seg_bias(g["win_seg"])), jnp.asarray(_seg_bias(g["full_seg"])),
+        jnp.asarray(is_full), jnp.asarray(g["window_index"]),
+        jnp.asarray(g["reverse_index"]))

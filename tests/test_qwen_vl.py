@@ -1,0 +1,149 @@
+"""Qwen2.5-VL parity tests against the HF implementation (random weights).
+
+The reference model is a direct HF Qwen2_5_VLForConditionalGeneration
+subclass (qwen_image_text_encoder_withdecode.py:6), so HF is the oracle.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from physicedit_tpu.models import qwen_vl as jvl
+from physicedit_tpu.models import qwen_vl_vision as jvis
+from physicedit_tpu.io import convert as C
+
+transformers = pytest.importorskip("transformers")
+
+
+def _tiny_hf(seed=0):
+    import torch
+    from transformers import Qwen2_5_VLConfig, Qwen2_5_VLForConditionalGeneration
+
+    torch.manual_seed(seed)
+    cfg = Qwen2_5_VLConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=512,
+        rope_scaling={"mrope_section": [4, 2, 2], "rope_type": "default",
+                      "type": "default"},
+        rope_theta=1e6, tie_word_embeddings=False, rms_norm_eps=1e-6,
+        bos_token_id=1, eos_token_id=2,
+        vision_config={"depth": 2, "hidden_size": 32, "num_heads": 2,
+                       "intermediate_size": 64, "patch_size": 14,
+                       "spatial_merge_size": 2, "temporal_patch_size": 2,
+                       "out_hidden_size": 64, "fullatt_block_indexes": [1],
+                       "window_size": 56, "in_channels": 3,
+                       "tokens_per_second": 2},
+    )
+    model = Qwen2_5_VLForConditionalGeneration(cfg).eval()
+    jcfg = jvl.QwenVLTextConfig(
+        hidden_size=64, num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+        intermediate_size=128, vocab_size=512, mrope_section=(4, 2, 2),
+        eos_token_id=2)
+    vcfg = jvis.QwenVLVisionConfig(
+        depth=2, hidden_size=32, num_heads=2, intermediate_size=64,
+        window_size=56, fullatt_block_indexes=(1,), out_hidden_size=64)
+    return model, jcfg, vcfg
+
+
+def test_text_forward_parity():
+    import torch
+
+    model, jcfg, _ = _tiny_hf()
+    params = C.qwen_vl_text_from_torch(model.state_dict(), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    b, s = 2, 11
+    ids = rng.integers(5, 500, size=(b, s))
+    mask = np.ones((b, s), np.int64)
+    with torch.no_grad():
+        out = model.model.language_model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask))
+        ref = out.last_hidden_state.numpy()
+
+    pos = np.tile(np.arange(s)[None, None], (3, b, 1))
+    emb = jvl.embed_tokens(params, jnp.asarray(ids))
+    ours = jvl.text_forward(params, jcfg, emb, jnp.asarray(pos),
+                            jnp.asarray(mask, bool))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_text_forward_padding_parity():
+    """Right-padded batch must match per-sample unpadded runs."""
+    model, jcfg, _ = _tiny_hf(1)
+    params = C.qwen_vl_text_from_torch(model.state_dict(), dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(5, 500, size=(1, 7))
+    pad_ids = np.concatenate([ids, np.zeros((1, 3), np.int64)], 1)
+    mask = np.concatenate([np.ones((1, 7)), np.zeros((1, 3))], 1)
+
+    pos = np.tile(np.arange(10)[None, None], (3, 1, 1))
+    emb = jvl.embed_tokens(params, jnp.asarray(pad_ids))
+    padded = jvl.text_forward(params, jcfg, emb, jnp.asarray(pos),
+                              jnp.asarray(mask, bool))
+
+    pos7 = np.tile(np.arange(7)[None, None], (3, 1, 1))
+    emb7 = jvl.embed_tokens(params, jnp.asarray(ids))
+    plain = jvl.text_forward(params, jcfg, emb7, jnp.asarray(pos7),
+                             jnp.ones((1, 7), bool))
+    np.testing.assert_allclose(np.asarray(padded)[:, :7], np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_vision_parity():
+    import torch
+
+    model, _, vcfg = _tiny_hf(2)
+    params = C.qwen_vl_vision_from_torch(model.state_dict(), dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    grid = [(1, 6, 8)]  # 48 patches -> 12 merged tokens
+    n = sum(t * h * w for t, h, w in grid)
+    patches = rng.normal(size=(n, 3 * 2 * 14 * 14)).astype(np.float32)
+    with torch.no_grad():
+        ref = model.model.visual(torch.tensor(patches),
+                                 grid_thw=torch.tensor(grid)).numpy()
+    ours = jvis.run_vision(params, vcfg, jnp.asarray(patches), grid)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_vision_parity_multi_image():
+    import torch
+
+    model, _, vcfg = _tiny_hf(3)
+    params = C.qwen_vl_vision_from_torch(model.state_dict(), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    grid = [(1, 4, 6), (1, 6, 4)]
+    n = sum(t * h * w for t, h, w in grid)
+    patches = rng.normal(size=(n, 3 * 2 * 14 * 14)).astype(np.float32)
+    with torch.no_grad():
+        ref = model.model.visual(torch.tensor(patches),
+                                 grid_thw=torch.tensor(grid)).numpy()
+    ours = jvis.run_vision(params, vcfg, jnp.asarray(patches), grid)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_greedy_decode_matches_hf_generate():
+    import torch
+
+    model, jcfg, _ = _tiny_hf(4)
+    params = C.qwen_vl_text_from_torch(model.state_dict(), dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    s = 9
+    ids = rng.integers(5, 500, size=(1, s))
+    max_new = 8
+    with torch.no_grad():
+        gen = model.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.ones(1, s).long(),
+            max_new_tokens=max_new, do_sample=False)
+    ref_new = gen[0, s:].numpy()
+
+    pos = np.tile(np.arange(s)[None, None], (3, 1, 1))
+    emb = jvl.embed_tokens(params, jnp.asarray(ids))
+    logits, caches, _ = jvl.prefill(params, jcfg, emb, jnp.asarray(pos),
+                                    jnp.ones((1, s), bool), s + max_new)
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+    toks, done = jvl.greedy_decode(params, jcfg, caches, first, s,
+                                   jnp.full((1,), s, jnp.int32), max_new)
+    ours = np.asarray(toks)[0]
+    # HF stops at EOS; compare the overlapping prefix.
+    np.testing.assert_array_equal(ours[: len(ref_new)], ref_new)
