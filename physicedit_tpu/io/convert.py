@@ -388,3 +388,26 @@ def qwen_vl_vision_from_torch(sd: dict, dtype=jnp.bfloat16,
             "fc2": _lin(sd, base + "merger.mlp.2", dtype),
         },
     }
+
+
+def physic_adapters_from_state_dict(pipe_sd: dict, dtype=jnp.float32) -> dict:
+    """Pipeline-level adapter weights (the `pipe.*` half of a finetuned
+    PhysicEdit checkpoint, validate.py:55-65) -> pytrees.
+
+    Missing groups are simply absent from the result (e.g. an
+    inference-only checkpoint without the train-time resamplers).
+    """
+    out = {}
+    if any(k.startswith("visual_thinking_adapter.") for k in pipe_sd):
+        out["visual_thinking_adapter"] = dual_adapter_from_torch(
+            pipe_sd, "visual_thinking_adapter", dtype)
+    for name in ("dino_resampler", "vae_resampler"):
+        if any(k.startswith(name + ".") for k in pipe_sd):
+            out[name] = perceiver_from_torch(pipe_sd, name, dtype)
+        if any(k.startswith(name + "_adapter.") for k in pipe_sd):
+            out[name + "_adapter"] = visual_thinking_from_torch(
+                pipe_sd, name + "_adapter", dtype)
+    for name in ("dino_time_embed", "vae_time_embed"):
+        if name + ".weight" in pipe_sd:
+            out[name] = _t(pipe_sd, name + ".weight", dtype)
+    return out

@@ -1,0 +1,121 @@
+"""Fused flash attention for the DiT joint-attention hot loop (Pallas/TPU).
+
+Replaces the reference's FlashAttention-3 path (qwen_image_dit.py:14-39)
+with a TPU-native online-softmax kernel:
+
+- grid (batch, heads, q_blocks, k_blocks); the k axis is innermost so the
+  VMEM scratch accumulators (m, l, acc) persist across it — the canonical
+  Mosaic reduction pattern,
+- fp32 running max / normaliser / accumulator; bf16 QK^T and PV on the MXU,
+- key-side padding mask (the CFG text-padding mask) folded into the scores
+  with a -1e30 bias — finite, so fully-masked (padded) query rows stay
+  finite and are simply discarded by the caller.
+
+The public wrapper pads sequence lengths to block multiples and falls back
+to the XLA path for shapes the kernel doesn't target (head_dim != 128 or
+attention bias, e.g. EliGen entity masks).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+DEFAULT_BQ = 256
+DEFAULT_BK = 512
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
+                  m_scr, l_scr, acc_scr, *, scale, bk_total):
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]                      # [BQ, D] bf16
+    k = k_ref[0, 0]                      # [BK, D]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale     # [BQ, BK] fp32
+    mask = mask_ref[0]                   # [BK] bool (key validity)
+    s = jnp.where(mask[None, :], s, NEG_INF)
+
+    m_prev = m_scr[:, :1]                                # [BQ, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)           # [BQ, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)                      # [BQ, 1]
+    p = jnp.exp(s - m_new)                               # [BQ, BK] fp32
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [BQ, D]
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == bk_total - 1)
+    def _finish():
+        out_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_bnsd(q, k, v, key_mask, block_q=DEFAULT_BQ, block_k=DEFAULT_BK):
+    """q/k/v: [B, N, S, D] (S padded to block multiples); key_mask: [B, S]."""
+    b, n, sq, d = q.shape
+    sk = k.shape[2]
+    nq, nk = sq // block_q, sk // block_k
+    scale = 1.0 / (d ** 0.5)
+
+    kernel = functools.partial(_flash_kernel, scale=scale, bk_total=nk)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h, ki, 0)),
+            pl.BlockSpec((1, block_k), lambda b_, h, qi, ki: (b_, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b_, h, qi, ki: (b_, h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+    )(q, k, v, key_mask)
+
+
+def flash_attention(q, k, v, key_mask=None, bias=None,
+                    block_q: int = DEFAULT_BQ, block_k: int = DEFAULT_BK):
+    """Drop-in for ops.attention.sdpa_xla: q/k/v [B, S, N, D] -> [B, S, N, D]."""
+    if bias is not None or q.shape[-1] % 128 != 0:
+        from physicedit_tpu.ops.attention import sdpa_xla
+
+        return sdpa_xla(q, k, v, key_mask=key_mask, bias=bias)
+
+    b, s, n, d = q.shape
+    if key_mask is None:
+        key_mask = jnp.ones((b, s), bool)
+
+    pad_q = (-s) % block_q
+    pad_k = (-s) % block_k
+    qt = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    kt = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    vt = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    mask = jnp.pad(key_mask.astype(bool), ((0, 0), (0, pad_k)))
+
+    out = _flash_bnsd(qt, kt, vt, mask, block_q=block_q, block_k=block_k)
+    return out.transpose(0, 2, 1, 3)[:, :s]

@@ -129,18 +129,35 @@ def _modulate(x, shift, scale, eps):
 
 def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
                   img_cos, img_sin, txt_cos, txt_sin,
-                  joint_key_mask, attn_impl: str = "xla"):
+                  joint_key_mask, attn_impl: str = "xla", lora=None):
     """One dual-stream block (qwen_image_dit.py:359-401).
 
     image: [B, S_i, dim]; text: [B, S_t, dim]; temb_silu: [B, dim] (SiLU
-    applied once outside the scan).  Returns (text, image).
+    applied once outside the scan).  `lora` optionally carries this layer's
+    trainable (A, B) factors (physicedit_tpu.lora layout, layer axis already
+    indexed); deltas are applied on activations: y += (x @ A) @ B.
+    Returns (text, image).
     """
+    from physicedit_tpu.lora import lora_delta, lora_delta_fused
+
+    def lget(name):
+        return lora[name] if (lora is not None and name in lora) else None
+
+    def with_lora(y, name, x, fused=False):
+        leaf = lget(name)
+        if leaf is None:
+            return y
+        delta = (lora_delta_fused(leaf, x) if fused else lora_delta(leaf, x))
+        return y + delta.astype(y.dtype)
+
     b, s_i, d = image.shape
     s_t = text.shape[1]
     n, hd = cfg.num_heads, cfg.head_dim
 
-    img_mod = linear(p["img_mod"], temb_silu)
-    txt_mod = linear(p["txt_mod"], temb_silu)
+    img_mod = with_lora(linear(p["img_mod"], temb_silu[:, None, :]),
+                        "img_mod", temb_silu[:, None, :])[:, 0]
+    txt_mod = with_lora(linear(p["txt_mod"], temb_silu[:, None, :]),
+                        "txt_mod", temb_silu[:, None, :])[:, 0]
     im_sh1, im_sc1, im_g1, im_sh2, im_sc2, im_g2 = jnp.split(img_mod, 6, axis=-1)
     tx_sh1, tx_sc1, tx_g1, tx_sh2, tx_sc2, tx_g2 = jnp.split(txt_mod, 6, axis=-1)
 
@@ -148,8 +165,10 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
     txt_n = _modulate(text, tx_sh1, tx_sc1, cfg.eps)
 
     # Fused per-stream QKV projections -> [B, S, 3, N, D]
-    img_qkv = linear(p["attn"]["img_qkv"], img_n).reshape(b, s_i, 3, n, hd)
-    txt_qkv = linear(p["attn"]["txt_qkv"], txt_n).reshape(b, s_t, 3, n, hd)
+    img_qkv = with_lora(linear(p["attn"]["img_qkv"], img_n), "img_qkv",
+                        img_n, fused=True).reshape(b, s_i, 3, n, hd)
+    txt_qkv = with_lora(linear(p["attn"]["txt_qkv"], txt_n), "txt_qkv",
+                        txt_n, fused=True).reshape(b, s_t, 3, n, hd)
     iq, ik, iv = img_qkv[:, :, 0], img_qkv[:, :, 1], img_qkv[:, :, 2]
     tq, tk, tv = txt_qkv[:, :, 0], txt_qkv[:, :, 1], txt_qkv[:, :, 2]
 
@@ -177,15 +196,19 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
     out = out.reshape(b, s_t + s_i, d)
     txt_attn, img_attn = out[:, :s_t], out[:, s_t:]
 
-    image = image + im_g1[:, None, :] * linear(p["attn"]["to_out"], img_attn)
-    text = text + tx_g1[:, None, :] * linear(p["attn"]["to_add_out"], txt_attn)
+    image = image + im_g1[:, None, :] * with_lora(
+        linear(p["attn"]["to_out"], img_attn), "to_out", img_attn)
+    text = text + tx_g1[:, None, :] * with_lora(
+        linear(p["attn"]["to_add_out"], txt_attn), "to_add_out", txt_attn)
 
     img_m = _modulate(image, im_sh2, im_sc2, cfg.eps)
     txt_m = _modulate(text, tx_sh2, tx_sc2, cfg.eps)
-    image = image + im_g2[:, None, :] * linear(
-        p["img_mlp"]["fc2"], approximate_gelu(linear(p["img_mlp"]["fc1"], img_m)))
-    text = text + tx_g2[:, None, :] * linear(
-        p["txt_mlp"]["fc2"], approximate_gelu(linear(p["txt_mlp"]["fc1"], txt_m)))
+    img_h = approximate_gelu(linear(p["img_mlp"]["fc1"], img_m))
+    txt_h = approximate_gelu(linear(p["txt_mlp"]["fc1"], txt_m))
+    image = image + im_g2[:, None, :] * with_lora(
+        linear(p["img_mlp"]["fc2"], img_h), "img_mlp_fc2", img_h)
+    text = text + tx_g2[:, None, :] * with_lora(
+        linear(p["txt_mlp"]["fc2"], txt_h), "txt_mlp_fc2", txt_h)
     return text, image
 
 
@@ -196,7 +219,7 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
 def dit_forward(params, cfg: DiTConfig, img_tokens, txt_tokens, timestep,
                 img_cos, img_sin, txt_cos, txt_sin,
                 txt_key_mask=None, attn_impl: str = "xla",
-                use_remat: bool = False):
+                use_remat: bool = False, lora=None):
     """Full DiT forward over patchified tokens.
 
     img_tokens: [B, S_i, 64] patchified latents (base image tokens first,
@@ -234,17 +257,20 @@ def dit_forward(params, cfg: DiTConfig, img_tokens, txt_tokens, timestep,
         img_cos=img_cos, img_sin=img_sin, txt_cos=txt_cos, txt_sin=txt_sin,
         joint_key_mask=joint_key_mask, attn_impl=attn_impl)
 
-    def apply_block(block_params, text, image):
-        return body_fn(block_params, image=image, text=text, temb_silu=temb_silu)
+    def apply_block(block_params, block_lora, text, image):
+        return body_fn(block_params, image=image, text=text,
+                       temb_silu=temb_silu, lora=block_lora)
 
     if use_remat:
         apply_block = jax.checkpoint(apply_block)
 
-    def scan_body(carry, block_params):
-        text, image = apply_block(block_params, *carry)
+    def scan_body(carry, xs):
+        block_params, block_lora = xs
+        text, image = apply_block(block_params, block_lora, *carry)
         return (text, image), None
 
-    (text, image), _ = jax.lax.scan(scan_body, (text, image), params["blocks"])
+    (text, image), _ = jax.lax.scan(
+        scan_body, (text, image), (params["blocks"], lora))
 
     # AdaLN-single out (models/utils.py:296-309): scale, shift = chunk(2).
     mod = linear(params["norm_out"]["linear"], temb_silu)

@@ -1,0 +1,379 @@
+"""The PhysicEdit edit pipeline: image + instruction -> edited image.
+
+TPU-native orchestrator replacing QwenImagePhysicPipeline
+(diffsynth/pipelines/qwen_image_physical.py:183-669).  The reference's
+declarative unit graph becomes explicit staged methods; everything
+tensor-shaped runs inside three jitted programs (VL encode, denoise scan,
+VAE decode/encode) and the Python between them only does host-side string /
+geometry work.
+
+Stage map (reference unit -> here):
+  ShapeChecker           -> __call__ rounding (/16)
+  NoiseInitializer       -> generate_noise (seeded; optional torch-CPU
+                            backend for bit-parity with reference seeds)
+  EditImageEmbedder      -> encode_edit_image (1024-sq auto-resize, VAE)
+  PhysicalVerbalEmbedder -> reason_physical (VL greedy decode + JSON parse)
+  PromptEmbedder         -> encode_prompt_edit (special-token suffix, VL
+                            encode, drop_idx, special-token positions)
+  denoise loop           -> sampling/denoise.denoise (lax.scan, CFG batched)
+  VAE decode             -> models/vae.decode
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from physicedit_tpu.io import convert as C
+from physicedit_tpu.io.safetensors_io import detect_model_name, load_state_dict
+from physicedit_tpu.models import dit as m_dit
+from physicedit_tpu.models import qwen_vl as m_text
+from physicedit_tpu.models import qwen_vl_vision as m_vis
+from physicedit_tpu.models import vae as m_vae
+from physicedit_tpu.models import dinov2 as m_dino
+from physicedit_tpu.models import adapters as m_ad
+from physicedit_tpu.ops import rope as m_rope
+from physicedit_tpu.ops.patchify import patchify
+from physicedit_tpu.pipeline import prompt as P
+from physicedit_tpu.pipeline import vl_host
+from physicedit_tpu.sampling import flow_match as fm
+from physicedit_tpu.sampling.denoise import denoise
+from physicedit_tpu import lora as jlora
+
+IMAGE_PAD_ID = 151655
+VISION_START_ID = 151652
+
+
+@dataclasses.dataclass
+class PhysicEditPipeline:
+    dit_params: dict
+    vae_params: dict
+    text_params: dict | None = None
+    vision_params: dict | None = None
+    dinov2_params: dict | None = None
+    adapters: dict = dataclasses.field(default_factory=dict)
+
+    dit_cfg: m_dit.DiTConfig = m_dit.QWEN_IMAGE_CONFIG
+    vae_cfg: m_vae.VAEConfig = m_vae.QWEN_VAE_CONFIG
+    text_cfg: m_text.QwenVLTextConfig = m_text.QWEN25_VL_7B_TEXT
+    vision_cfg: m_vis.QwenVLVisionConfig = m_vis.QWEN25_VL_VISION
+    dinov2_cfg: m_dino.DinoV2Config = m_dino.DINOV2_BASE
+
+    tokenizer: object | None = None       # HF tokenizer (host-side only)
+    dtype: object = jnp.bfloat16
+    attn_impl: str = "xla"
+    boi_token_id: int | None = None
+    eoi_token_id: int | None = None
+    image_pad_id: int = IMAGE_PAD_ID
+    vision_start_id: int = VISION_START_ID
+    edit_drop_idx: int = P.EDIT_DROP_IDX
+    t2i_drop_idx: int = P.T2I_DROP_IDX
+    rope_axes: tuple = m_rope.AXES_DIM
+
+    def __post_init__(self):
+        self.t_min, self.t_max = fm.adapter_t_range()
+
+    # ------------------------------------------------------------------
+    # Loading
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, model_paths: list, tokenizer_path: str | None = None,
+                        dtype=jnp.bfloat16, attn_impl: str = "xla",
+                        lora_path: str | None = None,
+                        finetuned_path: str | None = None):
+        """Build the pipeline from checkpoint files.
+
+        model_paths: safetensors files/folders; each is identified by its
+        key-hash (io/safetensors_io.py) like the reference ModelManager
+        (model_manager.py:350-416).  `finetuned_path` is a PhysicEdit
+        training export: DiT-LoRA keys are merged into the DiT weights and
+        `pipe.*` keys populate the adapters (validate.py:33-65 semantics).
+        """
+        parts: dict = {}
+        for path in model_paths:
+            sd = load_state_dict(path)
+            name = detect_model_name(sd)
+            if name is None:
+                raise ValueError(f"unrecognised checkpoint: {path}")
+            parts[name] = sd
+
+        adapters = {}
+        dit_sd = parts.get("qwen_image_dit")
+        if finetuned_path is not None:
+            ft = load_state_dict(finetuned_path)
+            lora_sd, pipe_sd = jlora.split_finetuned_checkpoint(
+                {k: np.asarray(v, np.float32) for k, v in ft.items()})
+            lora_sd = {k.replace("pipe.dit.", ""): v for k, v in lora_sd.items()}
+            if dit_sd is not None and lora_sd:
+                dit_sd = jlora.merge_lora_into_state_dict(dit_sd, lora_sd)
+            adapters = C.physic_adapters_from_state_dict(pipe_sd, jnp.float32)
+        elif lora_path is not None and dit_sd is not None:
+            lsd = {k: np.asarray(v, np.float32)
+                   for k, v in load_state_dict(lora_path).items()}
+            dit_sd = jlora.merge_lora_into_state_dict(dit_sd, lsd)
+
+        kw = dict(adapters=adapters, dtype=dtype, attn_impl=attn_impl)
+        if dit_sd is not None:
+            kw["dit_params"] = C.dit_from_torch(dit_sd, dtype=dtype)
+        if "qwen_image_vae" in parts:
+            kw["vae_params"] = C.vae_from_torch(parts["qwen_image_vae"], dtype=dtype)
+        if "qwen_image_text_encoder" in parts:
+            sd = _remap_text_encoder_keys(parts["qwen_image_text_encoder"])
+            kw["text_params"] = C.qwen_vl_text_from_torch(sd, dtype=dtype)
+            kw["vision_params"] = C.qwen_vl_vision_from_torch(sd, dtype=dtype)
+
+        pipe = cls(**kw)
+        if tokenizer_path is not None:
+            pipe.load_tokenizer(tokenizer_path)
+        return pipe
+
+    def load_tokenizer(self, path: str):
+        from transformers import Qwen2Tokenizer
+
+        tok = Qwen2Tokenizer.from_pretrained(path)
+        tok.add_special_tokens({"additional_special_tokens": P.SPECIAL_TOKENS})
+        self.tokenizer = tok
+        self.boi_token_id = tok.convert_tokens_to_ids("<begin_of_img>")
+        self.eoi_token_id = tok.convert_tokens_to_ids("<end_of_img>")
+
+    # ------------------------------------------------------------------
+    # Stages
+    # ------------------------------------------------------------------
+
+    def generate_noise(self, shape, seed: int | None, backend: str = "auto"):
+        """Seeded latent noise [1, h, w, 16].
+
+        backend="torch" reproduces the reference's CPU-generator bitstream
+        (utils/__init__.py:119-124) when torch is importable; "jax" uses a
+        PRNGKey (documented divergence: different RNG, same distribution).
+        """
+        if backend == "auto":
+            try:
+                import torch  # noqa: F401
+                backend = "torch"
+            except ImportError:
+                backend = "jax"
+        if backend == "torch":
+            import torch
+
+            gen = None if seed is None else torch.Generator("cpu").manual_seed(seed)
+            h, w, c = shape[1], shape[2], shape[3]
+            noise = torch.randn((shape[0], c, h, w), generator=gen,
+                                dtype=torch.float32)
+            return jnp.asarray(noise.numpy().transpose(0, 2, 3, 1), self.dtype)
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        return jax.random.normal(key, shape, self.dtype)
+
+    def encode_image(self, image) -> jax.Array:
+        """PIL -> VAE latents [1, H/8, W/8, 16]."""
+        arr = np.asarray(image.convert("RGB"), np.float32) / 127.5 - 1.0
+        x = jnp.asarray(arr[None], self.dtype)
+        return m_vae.encode_jit(self.vae_params, x, self.vae_cfg)
+
+    def decode_image(self, latents: jax.Array):
+        from PIL import Image
+
+        img = m_vae.decode_jit(self.vae_params, latents.astype(self.dtype),
+                               self.vae_cfg)
+        arr = np.asarray(img[0].astype(jnp.float32))
+        arr = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        return Image.fromarray(arr)
+
+    def edit_image_auto_resize(self, image):
+        """~1024-sq /32 resize (qwen_image_physical.py:1252-1263)."""
+        w, h = vl_host.calculate_dimensions(1024 * 1024,
+                                            image.size[0] / image.size[1])
+        return image.resize((w, h))
+
+    def _vl_hidden(self, text: str, images: list):
+        """Tokenize + VL-encode; returns (ids [S], hidden [S, 3584])."""
+        ids = self.tokenizer(text).input_ids
+        if images:
+            patches, grids = vl_host.images_to_patches(
+                [vl_host.resize_vl_image(im) for im in images])
+            ids = vl_host.expand_image_pads(ids, grids, self.image_pad_id)
+            feats = m_vis.run_vision(self.vision_params, self.vision_cfg,
+                                     jnp.asarray(patches, self.dtype), grids)
+            feats = np.asarray(feats.astype(jnp.float32))
+        else:
+            grids, feats = [], None
+        ids = np.asarray(ids, np.int32)
+        embeds = np.asarray(
+            m_text.embed_tokens(self.text_params, jnp.asarray(ids))
+            .astype(jnp.float32))
+        if feats is not None:
+            embeds = vl_host.scatter_vision_features(embeds, ids, feats,
+                                                     self.image_pad_id)
+        pos = vl_host.get_rope_index(ids, grids, self.image_pad_id, self.vision_start_id)
+        hidden = m_text.text_forward(
+            self.text_params, self.text_cfg,
+            jnp.asarray(embeds[None], self.dtype),
+            jnp.asarray(pos[:, None, :]), jnp.ones((1, len(ids)), bool))
+        return ids, np.asarray(hidden[0].astype(jnp.float32))
+
+    def encode_prompt_edit(self, prompt: str, edit_image):
+        """Edit-path prompt encoding (qwen_image_physical.py:774-800).
+
+        Returns (prompt_emb [S, 3584], special_positions [64] or None).
+        """
+        text = P.edit_prompt_text(prompt)
+        ids, hidden = self._vl_hidden(text, [edit_image])
+        hidden = hidden[self.edit_drop_idx:]
+        ids_d = ids[self.edit_drop_idx:]
+        special = None
+        if self.boi_token_id is not None:
+            boi = np.where(ids_d == self.boi_token_id)[0]
+            eoi = np.where(ids_d == self.eoi_token_id)[0]
+            if boi.size and eoi.size:
+                special = np.arange(boi[0] + 1, eoi[0])
+        return hidden, special
+
+    def encode_prompt(self, prompt: str):
+        """T2I-path prompt encoding (no image, drop_idx 34)."""
+        ids, hidden = self._vl_hidden(P.T2I_TEMPLATE.format(prompt), [])
+        return hidden[self.t2i_drop_idx:], None
+
+    def reason_physical(self, prompt: str, edit_image,
+                        max_new_tokens: int = 1000) -> str:
+        """Inference-time physical reasoner (qwen_image_physical.py:943-986)."""
+        text = P.reasoner_chat_text(P.REASONER_SYSTEM_PROMPT, [
+            ("text", "Edit Instruction:"), ("text", prompt),
+            ("text", "Edit Image:"), ("image",)])
+        ids = self.tokenizer(text).input_ids
+        patches, grids = vl_host.images_to_patches(
+            [vl_host.resize_vl_image(edit_image)])
+        ids = vl_host.expand_image_pads(ids, grids, self.image_pad_id)
+        ids = np.asarray(ids, np.int32)
+        feats = np.asarray(
+            m_vis.run_vision(self.vision_params, self.vision_cfg,
+                             jnp.asarray(patches, self.dtype), grids)
+            .astype(jnp.float32))
+        embeds = np.asarray(
+            m_text.embed_tokens(self.text_params, jnp.asarray(ids))
+            .astype(jnp.float32))
+        embeds = vl_host.scatter_vision_features(embeds, ids, feats, self.image_pad_id)
+        pos = vl_host.get_rope_index(ids, grids, self.image_pad_id, self.vision_start_id)
+
+        s = len(ids)
+        # Bucket the prompt length to bound recompilation across edits.
+        max_total = ((s + max_new_tokens + 127) // 128) * 128
+        logits, caches, _ = m_text.prefill(
+            self.text_params, self.text_cfg,
+            jnp.asarray(embeds[None], self.dtype),
+            jnp.asarray(pos[:, None, :]), jnp.ones((1, s), bool), max_total)
+        first = jnp.argmax(logits, -1).astype(jnp.int32)
+        start_rope = int(pos.max()) + 1
+        toks, _ = m_text.greedy_decode(
+            self.text_params, self.text_cfg, caches, first, s,
+            jnp.full((1,), start_rope, jnp.int32), max_new_tokens)
+        toks = np.asarray(toks)[0].tolist()
+        if self.text_cfg.eos_token_id in toks:
+            toks = toks[: toks.index(self.text_cfg.eos_token_id)]
+        decoded = self.tokenizer.decode(toks, skip_special_tokens=True)
+        return P.reasoner_text_from_response(decoded)
+
+    # ------------------------------------------------------------------
+    # Full edit
+    # ------------------------------------------------------------------
+
+    def __call__(self, prompt: str, negative_prompt: str = "",
+                 edit_image=None, cfg_scale: float = 4.0,
+                 height: int = 1328, width: int = 1328, seed: int | None = None,
+                 num_inference_steps: int = 40,
+                 exponential_shift_mu: float | None = None,
+                 denoising_strength: float = 1.0,
+                 edit_image_auto_resize: bool = True,
+                 edit_rope_interpolation: bool = False,
+                 have_text_reasoning: bool = True,
+                 input_image=None):
+        height, width = (height + 15) // 16 * 16, (width + 15) // 16 * 16
+        lat_h, lat_w = height // 8, width // 8
+
+        sched = fm.build_schedule(
+            num_inference_steps, fm.QWEN_IMAGE_CONFIG,
+            denoising_strength=denoising_strength,
+            dynamic_shift_len=(height // 16) * (width // 16),
+            exponential_shift_mu=exponential_shift_mu)
+
+        noise = self.generate_noise((1, lat_h, lat_w, 16), seed)
+        if input_image is not None:
+            input_latents = self.encode_image(input_image.resize((width, height)))
+            latents = (fm.add_noise(input_latents.astype(jnp.float32),
+                                    noise.astype(jnp.float32), sched.sigmas[0])
+                       .astype(self.dtype))
+        else:
+            latents = noise
+
+        img_shapes = [(1, lat_h // 2, lat_w // 2)]
+        extra_tokens = None
+        if edit_image is not None:
+            resized = (self.edit_image_auto_resize(edit_image)
+                       if edit_image_auto_resize else edit_image)
+            edit_latents = self.encode_image(resized)
+            eh, ew = edit_latents.shape[1], edit_latents.shape[2]
+            img_shapes.append((1, eh // 2, ew // 2))
+            extra_tokens = patchify(edit_latents)
+
+        physical_txt = ""
+        if have_text_reasoning and edit_image is not None:
+            physical_txt = self.reason_physical(prompt, edit_image)
+
+        # Prompt encoding (CFG positive + negative, batched along batch).
+        if edit_image is not None:
+            emb_p, special_p = self.encode_prompt_edit(
+                prompt + physical_txt, edit_image)
+            emb_n, special_n = self.encode_prompt_edit(negative_prompt, edit_image)
+        else:
+            emb_p, special_p = self.encode_prompt(prompt + physical_txt)
+            emb_n, special_n = self.encode_prompt(negative_prompt)
+
+        use_cfg = cfg_scale != 1.0
+        embs = [emb_p, emb_n] if use_cfg else [emb_p]
+        specials = [special_p, special_n] if use_cfg else [special_p]
+        s_t = max(e.shape[0] for e in embs)
+        b = len(embs)
+        prompt_emb = np.zeros((b, s_t, embs[0].shape[1]), np.float32)
+        txt_mask = np.zeros((b, s_t), bool)
+        for i, e in enumerate(embs):
+            prompt_emb[i, : e.shape[0]] = e
+            txt_mask[i, : e.shape[0]] = True
+
+        adapter_params = self.adapters.get("visual_thinking_adapter")
+        special_idx = None
+        if adapter_params is not None and all(s is not None for s in specials):
+            special_idx = jnp.asarray(np.stack(specials), jnp.int32)
+
+        ropes = m_rope.build_rope_tables(
+            img_shapes, s_t, edit_rope_interpolation=edit_rope_interpolation,
+            axes_dim=self.rope_axes)
+
+        latents = denoise(
+            self.dit_params, self.dit_cfg, latents,
+            None if extra_tokens is None else extra_tokens.astype(self.dtype),
+            jnp.asarray(prompt_emb, self.dtype), jnp.asarray(txt_mask),
+            *(jnp.asarray(r) for r in ropes),
+            jnp.asarray(sched.sigmas), jnp.asarray(sched.sigmas_next),
+            jnp.asarray(sched.timesteps), jnp.asarray(float(cfg_scale)),
+            latent_hw=(lat_h, lat_w),
+            adapter_params=adapter_params, special_idx=special_idx,
+            t_min=self.t_min, t_max=self.t_max, attn_impl=self.attn_impl)
+
+        return self.decode_image(latents)
+
+
+def _remap_text_encoder_keys(sd: dict) -> dict:
+    """Reference converter semantics (qwen_image_text_encoder_withdecode.py:
+    287-296): visual.* -> model.visual.*, model.* -> model.language_model.*."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("visual."):
+            k = "model." + k
+        elif k.startswith("model.") and not k.startswith("model.language_model.") \
+                and not k.startswith("model.visual."):
+            k = k.replace("model.", "model.language_model.", 1)
+        out[k] = v
+    return out

@@ -1,0 +1,56 @@
+"""Pallas flash-attention kernel vs the XLA reference (interpreter mode)."""
+
+import functools
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from physicedit_tpu.kernels import flash_attention as fa
+from physicedit_tpu.ops.attention import sdpa_xla
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    """Run pallas_call in interpreter mode on CPU."""
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    yield
+
+
+def _rand(b, s, n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.normal(size=(b, s, n, d)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(b, s, n, d)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(b, s, n, d)).astype(np.float32)))
+
+
+def test_flash_matches_xla_unmasked():
+    q, k, v = _rand(1, 384, 2, 128)
+    out = fa.flash_attention(q, k, v, block_q=128, block_k=128)
+    ref = sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_matches_xla_masked_and_ragged():
+    # S=300 is not a block multiple -> exercises padding; mask padded keys.
+    q, k, v = _rand(2, 300, 2, 128, seed=1)
+    mask = np.ones((2, 300), bool)
+    mask[0, 250:] = False
+    mask[1, 100:140] = False
+    out = fa.flash_attention(q, k, v, key_mask=jnp.asarray(mask),
+                             block_q=128, block_k=128)
+    ref = sdpa_xla(q, k, v, key_mask=jnp.asarray(mask))
+    # Only rows that are valid keys... all query rows are compared; padded
+    # SEQUENCE positions beyond 300 never exist here.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_fallback_small_head_dim():
+    q, k, v = _rand(1, 64, 2, 32, seed=2)
+    out = fa.flash_attention(q, k, v)
+    ref = sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
