@@ -1,0 +1,78 @@
+"""Training CLI mirroring the reference's flag surface.
+
+Reference: scripts/train/train_physicedit.py + train_multigpu.sh — dataset
+path, resolution, LoRA rank, lr, epochs, checkpoint cadence, resume.  On
+TPU there is no `accelerate launch`: the single-controller process drives
+the whole mesh; data parallelism comes from the sharded train step.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="PhysicEdit-TPU training")
+    p.add_argument("--dataset_base_path", type=str, required=True)
+    p.add_argument("--output_path", type=str, default="./ckpt")
+    p.add_argument("--base_model_path", type=str, required=True)
+    p.add_argument("--dinov2_path", type=str, required=True)
+    p.add_argument("--tokenizer_path", type=str, default=None)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=832)
+    p.add_argument("--num_frames", type=int, default=49)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--weight_decay", type=float, default=1e-2)
+    p.add_argument("--num_epochs", type=int, default=5)
+    p.add_argument("--lora_rank", type=int, default=128)
+    p.add_argument("--save_every_n_steps", type=int, default=500)
+    p.add_argument("--eval_every_n_steps", type=int, default=None)
+    p.add_argument("--dataset_repeat", type=int, default=1)
+    p.add_argument("--resume_from", type=str, default=None)
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    import os
+
+    import jax.numpy as jnp
+
+    from physicedit_tpu.cli.validate import find_model_files
+    from physicedit_tpu.io.convert import dinov2_from_torch
+    from physicedit_tpu.io.safetensors_io import load_state_dict
+    from physicedit_tpu.pipeline.edit_pipeline import PhysicEditPipeline
+    from physicedit_tpu.train.dataset import PhysicTranDataset
+    from physicedit_tpu.train.logging_utils import TrainLogger
+    from physicedit_tpu.train.trainer import TrainConfig, Trainer
+
+    args = build_parser().parse_args(argv)
+
+    tokenizer_path = args.tokenizer_path or os.path.join(
+        args.base_model_path, "tokenizer")
+    pipe = PhysicEditPipeline.from_pretrained(
+        find_model_files(args.base_model_path),
+        tokenizer_path=tokenizer_path if os.path.isdir(tokenizer_path) else None)
+    pipe.dinov2_params = dinov2_from_torch(
+        load_state_dict(args.dinov2_path), dtype=jnp.float32)
+
+    dataset = PhysicTranDataset(
+        args.dataset_base_path, num_frames=args.num_frames,
+        height=args.height, width=args.width, repeat=args.dataset_repeat)
+
+    cfg = TrainConfig(
+        output_path=args.output_path, learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay, num_epochs=args.num_epochs,
+        lora_rank=args.lora_rank, save_every_n_steps=args.save_every_n_steps,
+        eval_every_n_steps=args.eval_every_n_steps,
+        height=args.height, width=args.width, seed=args.seed)
+
+    trainer = Trainer(pipe, dataset, cfg, logger=TrainLogger(args.use_wandb))
+    if args.resume_from:
+        trainer.resume(args.resume_from)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Benchmark sweep drivers: PICABench and KRIS-Bench.
+
+Rebuilds scripts/inference/inference_pica.py / inference_kris.py:
+- PICA (inference_pica.py:217-303): HF `Andrew613/PICABench`, prompt_type
+  in {superficial, intermediate, explicit}, edits at the input image's
+  native size, index-range sharding across workers, outputs {idx:05d}.jpg,
+- KRIS (inference_kris.py:118-190): HF `Liang0223/KRIS_Bench`, per-category
+  output folders, inputs resized to ~1024-sq, idempotent skip of existing
+  files (restartability).
+
+Resolution bucketing: sweeps quantise sizes to /32 so XLA compiles a small
+set of shapes instead of one per image (SURVEY.md section 7.4 item 3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from physicedit_tpu.cli.validate import resize_image
+
+PICA_PROMPT_COLUMNS = {
+    "superficial": "superficial_prompt",
+    "intermediate": "intermediate_prompt",
+    "explicit": "explicit_prompt",
+}
+
+
+def _load_hf_dataset(name: str, split: str = "train", local_path: str | None = None):
+    from datasets import load_dataset, load_from_disk
+
+    if local_path is not None:
+        return load_from_disk(local_path)
+    return load_dataset(name, split=split)
+
+
+def run_pica_sweep(pipe, output_dir: str, prompt_type: str = "intermediate",
+                   start_idx: int = 0, end_idx: int | None = None,
+                   seed: int = 42, num_inference_steps: int = 40,
+                   local_dataset_path: str | None = None,
+                   native_resolution: bool = True,
+                   skip_existing: bool = True):
+    ds = _load_hf_dataset("Andrew613/PICABench", local_path=local_dataset_path)
+    os.makedirs(output_dir, exist_ok=True)
+    end_idx = len(ds) if end_idx is None else min(end_idx, len(ds))
+    col = PICA_PROMPT_COLUMNS.get(prompt_type, prompt_type)
+
+    for idx in range(start_idx, end_idx):
+        out_path = os.path.join(output_dir, f"{idx:05d}.jpg")
+        if skip_existing and os.path.exists(out_path):
+            continue
+        rec = ds[idx]
+        image = rec["image"].convert("RGB")
+        if not native_resolution:
+            image = resize_image(image)
+        else:
+            # quantise to /32 to bound the compile-cache size
+            w = max(32, (image.size[0] // 32) * 32)
+            h = max(32, (image.size[1] // 32) * 32)
+            if (w, h) != image.size:
+                image = image.resize((w, h))
+        prompt = rec[col]
+        out = pipe(prompt, edit_image=image, seed=seed,
+                   num_inference_steps=num_inference_steps,
+                   height=image.size[1], width=image.size[0],
+                   edit_image_auto_resize=False)
+        out.save(out_path)
+        print(f"[PICA] {idx} -> {out_path}", flush=True)
+
+
+def run_kris_sweep(pipe, output_dir: str, start_idx: int = 0,
+                   end_idx: int | None = None, seed: int = 42,
+                   num_inference_steps: int = 40,
+                   local_dataset_path: str | None = None,
+                   skip_existing: bool = True):
+    ds = _load_hf_dataset("Liang0223/KRIS_Bench", local_path=local_dataset_path)
+    os.makedirs(output_dir, exist_ok=True)
+    end_idx = len(ds) if end_idx is None else min(end_idx, len(ds))
+
+    for idx in range(start_idx, end_idx):
+        rec = ds[idx]
+        category = rec.get("category", "default")
+        cat_dir = os.path.join(output_dir, str(category))
+        os.makedirs(cat_dir, exist_ok=True)
+        name = rec.get("image_id", f"{idx:05d}")
+        out_path = os.path.join(cat_dir, f"{name}.jpg")
+        if skip_existing and os.path.exists(out_path):
+            continue
+        image = resize_image(rec["image"].convert("RGB"))
+        prompt = rec.get("instruction", rec.get("prompt", ""))
+        out = pipe(prompt, edit_image=image, seed=seed,
+                   num_inference_steps=num_inference_steps,
+                   height=image.size[1], width=image.size[0],
+                   edit_image_auto_resize=False)
+        out.save(out_path)
+        print(f"[KRIS] {idx} ({category}) -> {out_path}", flush=True)

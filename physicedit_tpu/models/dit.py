@@ -219,7 +219,7 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
 def dit_forward(params, cfg: DiTConfig, img_tokens, txt_tokens, timestep,
                 img_cos, img_sin, txt_cos, txt_sin,
                 txt_key_mask=None, attn_impl: str = "xla",
-                use_remat: bool = False, lora=None):
+                use_remat: bool = False, lora=None, control=None):
     """Full DiT forward over patchified tokens.
 
     img_tokens: [B, S_i, 64] patchified latents (base image tokens first,
@@ -257,20 +257,31 @@ def dit_forward(params, cfg: DiTConfig, img_tokens, txt_tokens, timestep,
         img_cos=img_cos, img_sin=img_sin, txt_cos=txt_cos, txt_sin=txt_sin,
         joint_key_mask=joint_key_mask, attn_impl=attn_impl)
 
-    def apply_block(block_params, block_lora, text, image):
-        return body_fn(block_params, image=image, text=text,
-                       temb_silu=temb_silu, lora=block_lora)
+    def apply_block(block_params, block_lora, ctl_block, text, image):
+        text, image = body_fn(block_params, image=image, text=text,
+                              temb_silu=temb_silu, lora=block_lora)
+        if control is not None:
+            # Blockwise ControlNet residual on the base image tokens only
+            # (qwen_image_physical.py:1389-1396).
+            from physicedit_tpu.models.controlnet import control_block
+
+            s_ctl = control["cond"].shape[1]
+            res = control_block(ctl_block, image[:, :s_ctl], control["cond"])
+            image = image.at[:, :s_ctl].add(res * control["scale"])
+        return text, image
 
     if use_remat:
         apply_block = jax.checkpoint(apply_block)
 
+    ctl_blocks = None if control is None else control["blocks"]
+
     def scan_body(carry, xs):
-        block_params, block_lora = xs
-        text, image = apply_block(block_params, block_lora, *carry)
+        block_params, block_lora, ctl_block = xs
+        text, image = apply_block(block_params, block_lora, ctl_block, *carry)
         return (text, image), None
 
     (text, image), _ = jax.lax.scan(
-        scan_body, (text, image), (params["blocks"], lora))
+        scan_body, (text, image), (params["blocks"], lora, ctl_blocks))
 
     # AdaLN-single out (models/utils.py:296-309): scale, shift = chunk(2).
     mod = linear(params["norm_out"]["linear"], temb_silu)

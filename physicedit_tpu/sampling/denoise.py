@@ -57,15 +57,21 @@ def denoise(
     t_min: float = 0.0,
     t_max: float = 1000.0,
     attn_impl: str = "xla",
+    control_blocks=None,   # stacked blockwise-ControlNet blocks or None
+    control_cond=None,     # [B, S_base, dim] processed conditioning
+    control_scales=None,   # [T] per-step gate (controlnet_step_scales)
 ):
     """Run the full denoise schedule; returns final latents [1, h, w, 16]."""
     h, w = latent_hw
     batch = prompt_emb.shape[0]
     dtype = prompt_emb.dtype
 
+    use_control = control_blocks is not None
+    scales = control_scales if use_control else sigmas  # placeholder xs
+
     def step(carry, inputs):
         latents, prompt_emb = carry
-        sigma, sigma_next, timestep = inputs
+        sigma, sigma_next, timestep, ctl_scale = inputs
 
         p_emb = prompt_emb
         if adapter_params is not None and special_idx is not None:
@@ -81,9 +87,14 @@ def denoise(
             img_tokens, (batch,) + img_tokens.shape[1:])
 
         t_norm = jnp.broadcast_to(timestep / 1000.0, (batch,)).astype(dtype)
+        control = None
+        if use_control:
+            control = {"blocks": control_blocks, "cond": control_cond,
+                       "scale": ctl_scale}
         out = dit_forward(dit_params, cfg, img_tokens, p_emb, t_norm,
                           img_cos, img_sin, txt_cos, txt_sin,
-                          txt_key_mask=txt_mask, attn_impl=attn_impl)
+                          txt_key_mask=txt_mask, attn_impl=attn_impl,
+                          control=control)
         base_tokens = out[:, : (h // 2) * (w // 2)]
         v = unpatchify(base_tokens, h, w)
 
@@ -95,5 +106,5 @@ def denoise(
         return (latents, p_emb), None
 
     (latents, _), _ = jax.lax.scan(
-        step, (latents, prompt_emb), (sigmas, sigmas_next, timesteps))
+        step, (latents, prompt_emb), (sigmas, sigmas_next, timesteps, scales))
     return latents
