@@ -46,7 +46,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale     # [BQ, BK] fp32
-    mask = mask_ref[0]                   # [BK] bool (key validity)
+    mask = mask_ref[0, 0]                # [BK] bool (key validity)
     s = jnp.where(mask[None, :], s, NEG_INF)
 
     m_prev = m_scr[:, :1]                                # [BQ, 1]
@@ -69,7 +69,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def _flash_bnsd(q, k, v, key_mask, block_q=DEFAULT_BQ, block_k=DEFAULT_BK):
-    """q/k/v: [B, N, S, D] (S padded to block multiples); key_mask: [B, S]."""
+    """q/k/v: [B, N, S, D] (S padded to block multiples); key_mask: [B, 1, S]."""
     b, n, sq, d = q.shape
     sk = k.shape[2]
     nq, nk = sq // block_q, sk // block_k
@@ -83,7 +83,8 @@ def _flash_bnsd(q, k, v, key_mask, block_q=DEFAULT_BQ, block_k=DEFAULT_BK):
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h, ki, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h, ki, 0)),
-            pl.BlockSpec((1, block_k), lambda b_, h, qi, ki: (b_, ki)),
+            # mask [B, 1, S_k]: middle dim kept whole to satisfy TPU tiling
+            pl.BlockSpec((1, 1, block_k), lambda b_, h, qi, ki: (b_, 0, ki)),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d),
                                lambda b_, h, qi, ki: (b_, h, qi, 0)),
@@ -115,7 +116,7 @@ def flash_attention(q, k, v, key_mask=None, bias=None,
     qt = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
     kt = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
     vt = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
-    mask = jnp.pad(key_mask.astype(bool), ((0, 0), (0, pad_k)))
+    mask = jnp.pad(key_mask.astype(bool), ((0, 0), (0, pad_k)))[:, None, :]
 
     out = _flash_bnsd(qt, kt, vt, mask, block_q=block_q, block_k=block_k)
     return out.transpose(0, 2, 1, 3)[:, :s]

@@ -72,6 +72,7 @@ class PhysicEditPipeline:
     edit_drop_idx: int = P.EDIT_DROP_IDX
     t2i_drop_idx: int = P.T2I_DROP_IDX
     rope_axes: tuple = m_rope.AXES_DIM
+    dit_lora: dict | None = None   # live LoRA factors (train-time eval)
 
     def __post_init__(self):
         self.t_min, self.t_max = fm.adapter_t_range()
@@ -360,7 +361,8 @@ class PhysicEditPipeline:
             jnp.asarray(sched.timesteps), jnp.asarray(float(cfg_scale)),
             latent_hw=(lat_h, lat_w),
             adapter_params=adapter_params, special_idx=special_idx,
-            t_min=self.t_min, t_max=self.t_max, attn_impl=self.attn_impl)
+            t_min=self.t_min, t_max=self.t_max, attn_impl=self.attn_impl,
+            lora=self.dit_lora)
 
         return self.decode_image(latents)
 

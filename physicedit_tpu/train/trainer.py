@@ -232,7 +232,48 @@ class Trainer:
                 if cfg.save_every_n_steps and \
                         self.global_step % cfg.save_every_n_steps == 0:
                     self.save(epoch)
+                if cfg.eval_every_n_steps and \
+                        self.global_step % cfg.eval_every_n_steps == 0:
+                    self.evaluate((i + 1) % len(self.dataset))
             self.save(epoch)
+
+    def evaluate(self, sample_idx: int = 0, seed: int = 42,
+                 num_inference_steps: int = 40):
+        """Fixed-seed eval generation with a [edit | GT | output] strip
+        (mirrors WandbModelLogger.evaluate_model, train_physicedit.py:39-169,
+        including restoring nothing: our scheduler is stateless, so the
+        reference's shared-scheduler-state pitfall does not exist here)."""
+        from PIL import Image
+
+        sample = self.dataset[sample_idx]
+        if sample is None:
+            return None
+        pipe = self.pipe
+        pipe.adapters = dict(pipe.adapters, **self.trainable["adapters"])
+        pipe.dit_lora = self.trainable["lora"]
+        try:
+            out = pipe(sample["prompt"], edit_image=sample["edit_image"],
+                       seed=seed, num_inference_steps=num_inference_steps,
+                       height=self.cfg.height, width=self.cfg.width,
+                       have_text_reasoning=False, edit_image_auto_resize=False)
+        finally:
+            pipe.dit_lora = None
+        size = (self.cfg.width, self.cfg.height)
+        strip = Image.new("RGB", (size[0] * 3, size[1]))
+        strip.paste(sample["edit_image"].resize(size), (0, 0))
+        strip.paste(sample["image"].resize(size), (size[0], 0))
+        strip.paste(out.resize(size), (size[0] * 2, 0))
+        if self.logger is not None:
+            self.logger.log_eval_image(self.global_step, strip,
+                                       caption=sample["prompt"])
+        import os
+
+        os.makedirs(self.cfg.output_path, exist_ok=True)
+        path = os.path.join(self.cfg.output_path,
+                            f"eval-step-{self.global_step}.jpg")
+        strip.save(path)
+        print(f"[EVAL] step={self.global_step} -> {path}")
+        return strip
 
     def save(self, epoch: int) -> str:
         path = ckpt.save_checkpoint(

@@ -1,0 +1,56 @@
+"""Weight IO: key-hash detection parity and safetensors roundtrip."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from physicedit_tpu.io import safetensors_io as sio
+from tests.conftest import requires_reference, load_ref_module
+
+
+def test_hash_matches_reference_algorithm():
+    sd = {
+        "a.weight": np.zeros((2, 3)),
+        "b.bias": np.zeros((4,)),
+        "nested": {"c": np.zeros((1,))},
+    }
+    s = sio.state_dict_keys_str(sd)
+    # Both "key:shape" and bare "key" entries, sorted (models/utils.py:148-161)
+    assert "a.weight:2_3" in s and "a.weight," in s + ","
+    assert "nested|c:1,c" in s
+
+
+@requires_reference
+def test_hash_identical_to_reference_impl():
+    import torch
+
+    ref_utils = load_ref_module("models.utils")
+    sd_t = {"x.weight": torch.zeros(3, 5), "y.bias": torch.zeros(7)}
+    sd_n = {"x.weight": np.zeros((3, 5)), "y.bias": np.zeros((7,))}
+    assert sio.hash_state_dict_keys(sd_n) == ref_utils.hash_state_dict_keys(sd_t)
+
+
+def test_detection_heuristics():
+    dit_like = {"transformer_blocks.0.attn.add_q_proj.weight": np.zeros((1,))}
+    assert sio.detect_model_name(dit_like) == "qwen_image_dit"
+    vae_like = {"encoder.down_blocks.0.conv1.weight": np.zeros((1,)),
+                "quant_conv.weight": np.zeros((1,))}
+    assert sio.detect_model_name(vae_like) == "qwen_image_vae"
+    vl_like = {"model.language_model.layers.0.self_attn.q_proj.weight": np.zeros((1,))}
+    assert sio.detect_model_name(vl_like) == "qwen_image_text_encoder"
+    cn_like = {"controlnet_blocks.0.input_proj.weight": np.zeros((1,))}
+    assert sio.detect_model_name(cn_like) == "qwen_image_blockwise_controlnet"
+    assert sio.detect_model_name({"junk": np.zeros((1,))}) is None
+
+
+def test_safetensors_roundtrip(tmp_path):
+    from safetensors.numpy import save_file
+
+    path = str(tmp_path / "x.safetensors")
+    save_file({"w": np.arange(6, dtype=np.float32).reshape(2, 3)}, path)
+    sd = sio.load_safetensors(path)
+    assert isinstance(sd["w"], jnp.ndarray)
+    np.testing.assert_allclose(np.asarray(sd["w"]),
+                               np.arange(6, dtype=np.float32).reshape(2, 3))
+    # folder loading
+    sd2 = sio.load_state_dict(str(tmp_path))
+    assert "w" in sd2
