@@ -99,6 +99,26 @@ def _flash_bnsd(q, k, v, key_mask, block_q=DEFAULT_BQ, block_k=DEFAULT_BK):
     )(q, k, v, key_mask)
 
 
+def flash_attention_bnsd(q, k, v, key_mask=None,
+                         block_q: int = DEFAULT_BQ, block_k: int = DEFAULT_BK):
+    """Heads-major fused attention: q/k/v [B, N, S, D] -> [B, N, S, D].
+
+    The layout the DiT block uses natively — no transposes; only tail
+    padding to block multiples (cheap; the joint 256+8192 sequence at the
+    1024-sq workload is already a 256-multiple)."""
+    b, n, s, d = q.shape
+    if key_mask is None:
+        key_mask = jnp.ones((b, s), bool)
+    pad_q = (-s) % block_q
+    pad_k = (-s) % block_k
+    qt = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    kt = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    vt = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    mask = jnp.pad(key_mask.astype(bool), ((0, 0), (0, pad_k)))[:, None, :]
+    out = _flash_bnsd(qt, kt, vt, mask, block_q=block_q, block_k=block_k)
+    return out[:, :, :s]
+
+
 def flash_attention(q, k, v, key_mask=None, bias=None,
                     block_q: int = DEFAULT_BQ, block_k: int = DEFAULT_BK):
     """Drop-in for ops.attention.sdpa_xla: q/k/v [B, S, N, D] -> [B, S, N, D]."""
@@ -107,16 +127,7 @@ def flash_attention(q, k, v, key_mask=None, bias=None,
 
         return sdpa_xla(q, k, v, key_mask=key_mask, bias=bias)
 
-    b, s, n, d = q.shape
-    if key_mask is None:
-        key_mask = jnp.ones((b, s), bool)
-
-    pad_q = (-s) % block_q
-    pad_k = (-s) % block_k
-    qt = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
-    kt = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
-    vt = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
-    mask = jnp.pad(key_mask.astype(bool), ((0, 0), (0, pad_k)))[:, None, :]
-
-    out = _flash_bnsd(qt, kt, vt, mask, block_q=block_q, block_k=block_k)
-    return out.transpose(0, 2, 1, 3)[:, :s]
+    out = flash_attention_bnsd(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), key_mask, block_q=block_q, block_k=block_k)
+    return out.transpose(0, 2, 1, 3)

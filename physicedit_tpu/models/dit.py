@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from physicedit_tpu.core.params import linear, linear_init, stack_trees
-from physicedit_tpu.ops.attention import sdpa_xla
+from physicedit_tpu.ops.attention import sdpa_bnsd
 from physicedit_tpu.ops.norms import approximate_gelu, layer_norm, rms_norm
 from physicedit_tpu.ops.rope import apply_rope
 
@@ -164,36 +164,39 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
     img_n = _modulate(image, im_sh1, im_sc1, cfg.eps)
     txt_n = _modulate(text, tx_sh1, tx_sc1, cfg.eps)
 
-    # Fused per-stream QKV projections -> [B, S, 3, N, D]
+    # Fused per-stream QKV projections -> heads-major [3, B, N, S, D] (one
+    # transpose here, none around RoPE or the attention kernel).
     img_qkv = with_lora(linear(p["attn"]["img_qkv"], img_n), "img_qkv",
                         img_n, fused=True).reshape(b, s_i, 3, n, hd)
     txt_qkv = with_lora(linear(p["attn"]["txt_qkv"], txt_n), "txt_qkv",
                         txt_n, fused=True).reshape(b, s_t, 3, n, hd)
-    iq, ik, iv = img_qkv[:, :, 0], img_qkv[:, :, 1], img_qkv[:, :, 2]
-    tq, tk, tv = txt_qkv[:, :, 0], txt_qkv[:, :, 1], txt_qkv[:, :, 2]
+    img_qkv = img_qkv.transpose(2, 0, 3, 1, 4)
+    txt_qkv = txt_qkv.transpose(2, 0, 3, 1, 4)
+    iq, ik, iv = img_qkv[0], img_qkv[1], img_qkv[2]
+    tq, tk, tv = txt_qkv[0], txt_qkv[1], txt_qkv[2]
 
     iq = rms_norm(iq, p["attn"]["norm_q"]["scale"], cfg.eps)
     ik = rms_norm(ik, p["attn"]["norm_k"]["scale"], cfg.eps)
     tq = rms_norm(tq, p["attn"]["norm_added_q"]["scale"], cfg.eps)
     tk = rms_norm(tk, p["attn"]["norm_added_k"]["scale"], cfg.eps)
 
-    iq = apply_rope(iq.transpose(0, 2, 1, 3), img_cos, img_sin).transpose(0, 2, 1, 3)
-    ik = apply_rope(ik.transpose(0, 2, 1, 3), img_cos, img_sin).transpose(0, 2, 1, 3)
-    tq = apply_rope(tq.transpose(0, 2, 1, 3), txt_cos, txt_sin).transpose(0, 2, 1, 3)
-    tk = apply_rope(tk.transpose(0, 2, 1, 3), txt_cos, txt_sin).transpose(0, 2, 1, 3)
+    iq = apply_rope(iq, img_cos, img_sin)
+    ik = apply_rope(ik, img_cos, img_sin)
+    tq = apply_rope(tq, txt_cos, txt_sin)
+    tk = apply_rope(tk, txt_cos, txt_sin)
 
     # Text prefix, image suffix on the joint sequence axis.
-    q = jnp.concatenate([tq, iq], axis=1)
-    k = jnp.concatenate([tk, ik], axis=1)
-    v = jnp.concatenate([tv, iv], axis=1)
+    q = jnp.concatenate([tq, iq], axis=2)
+    k = jnp.concatenate([tk, ik], axis=2)
+    v = jnp.concatenate([tv, iv], axis=2)
 
     if attn_impl == "pallas":
-        from physicedit_tpu.kernels.flash_attention import flash_attention
+        from physicedit_tpu.kernels.flash_attention import flash_attention_bnsd
 
-        out = flash_attention(q, k, v, key_mask=joint_key_mask)
+        out = flash_attention_bnsd(q, k, v, key_mask=joint_key_mask)
     else:
-        out = sdpa_xla(q, k, v, key_mask=joint_key_mask)
-    out = out.reshape(b, s_t + s_i, d)
+        out = sdpa_bnsd(q, k, v, key_mask=joint_key_mask)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s_t + s_i, d)
     txt_attn, img_attn = out[:, :s_t], out[:, s_t:]
 
     image = image + im_g1[:, None, :] * with_lora(

@@ -17,21 +17,17 @@ import jax
 import jax.numpy as jnp
 
 
-def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array,
-             key_mask: jax.Array | None = None,
-             bias: jax.Array | None = None) -> jax.Array:
-    """Scaled dot-product attention, fp32 softmax. q/k/v: [B, S, N, D].
+def sdpa_bnsd(q: jax.Array, k: jax.Array, v: jax.Array,
+              key_mask: jax.Array | None = None,
+              bias: jax.Array | None = None) -> jax.Array:
+    """Heads-major attention, fp32 softmax. q/k/v: [B, N, S, D] -> same.
 
     key_mask: optional [B, S_k] bool — False keys are excluded (padding).
     bias: optional [B, 1|N, S_q, S_k] additive bias (entity-mask attention).
     """
-    b, sq, n, d = q.shape
+    d = q.shape[-1]
     scale = 1.0 / (d ** 0.5)
-    # [B, N, S, D]
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-    logits = jnp.einsum("bnqd,bnkd->bnqk", qt, kt,
+    logits = jnp.einsum("bnqd,bnkd->bnqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
@@ -39,7 +35,15 @@ def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array,
         neg = jnp.asarray(-1e30, dtype=jnp.float32)
         logits = jnp.where(key_mask[:, None, None, :], logits, neg)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bnqk,bnkd->bnqd", probs, vt)
+    return jnp.einsum("bnqk,bnkd->bnqd", probs, v)
+
+
+def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array,
+             key_mask: jax.Array | None = None,
+             bias: jax.Array | None = None) -> jax.Array:
+    """Scaled dot-product attention over [B, S, N, D] inputs/outputs."""
+    out = sdpa_bnsd(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3), key_mask=key_mask, bias=bias)
     return out.transpose(0, 2, 1, 3)
 
 

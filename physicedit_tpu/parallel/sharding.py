@@ -66,6 +66,26 @@ def dit_param_specs(params) -> dict:
     return specs
 
 
+def qwen_vl_text_param_specs(params) -> dict:
+    """Tensor-parallel specs for the Qwen2.5-VL text decoder (models/qwen_vl.py):
+    q/k/v/gate/up column-split, o/down row-split, lm_head column-split,
+    embeddings and norms replicated.  Makes the 7B conditioning encoder span
+    the `model` axis alongside the DiT."""
+    specs = _replicated_like(params)
+    col_w, col_b, row_w = P(None, None, MODEL_AXIS), P(None, MODEL_AXIS), \
+        P(None, MODEL_AXIS, None)
+    layers = specs["layers"]
+    for proj in ("q", "k", "v"):
+        layers[proj]["w"] = col_w
+        layers[proj]["b"] = col_b
+    layers["o"]["w"] = row_w
+    layers["mlp"]["gate"]["w"] = col_w
+    layers["mlp"]["up"]["w"] = col_w
+    layers["mlp"]["down"]["w"] = row_w
+    specs["lm_head"]["w"] = P(None, MODEL_AXIS)
+    return specs
+
+
 def batch_specs():
     """Activation specs: batch on `data`, everything else replicated."""
     return P(DATA_AXIS)

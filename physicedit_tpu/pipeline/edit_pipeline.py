@@ -132,6 +132,39 @@ class PhysicEditPipeline:
             pipe.load_tokenizer(tokenizer_path)
         return pipe
 
+    def shard(self, mesh):
+        """Distribute the pipeline over a device mesh for inference.
+
+        The TPU-native replacement for the reference's CPU-offload VRAM
+        manager (qwen_image_physical.py:375-494): the 20B DiT and the 7B VL
+        decoder are tensor-parallel over the `model` axis (Megatron
+        column/row splits, parallel/sharding.py); everything else is
+        replicated.  The already-jitted denoise / encode programs follow
+        the parameter shardings via GSPMD — no code changes downstream.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        from physicedit_tpu.parallel import sharding as sh
+
+        def replicate(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, PS())), tree)
+
+        self.dit_params = sh.shard_params(
+            self.dit_params, sh.dit_param_specs(self.dit_params), mesh)
+        if self.text_params is not None:
+            self.text_params = sh.shard_params(
+                self.text_params,
+                sh.qwen_vl_text_param_specs(self.text_params), mesh)
+        for name in ("vae_params", "vision_params", "dinov2_params"):
+            v = getattr(self, name)
+            if v is not None:
+                setattr(self, name, replicate(v))
+        if self.adapters:
+            self.adapters = replicate(self.adapters)
+        self.mesh = mesh
+        return self
+
     def load_tokenizer(self, path: str):
         from transformers import Qwen2Tokenizer
 
