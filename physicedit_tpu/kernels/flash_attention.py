@@ -99,13 +99,87 @@ def _flash_bnsd(q, k, v, key_mask, block_q=DEFAULT_BQ, block_k=DEFAULT_BK):
     )(q, k, v, key_mask)
 
 
-def flash_attention_bnsd(q, k, v, key_mask=None,
+def _flash_kernel_bias(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref,
+                       m_scr, l_scr, acc_scr, *, scale, bk_total):
+    """Variant with an additive [S_q, S_k] bias (EliGen entity masks)."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = s + bias_ref[0].astype(jnp.float32)
+    mask = mask_ref[0, 0]
+    s = jnp.where(mask[None, :], s, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == bk_total - 1)
+    def _finish():
+        out_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_bnsd_bias(q, k, v, key_mask, bias, block_q=DEFAULT_BQ,
+                     block_k=DEFAULT_BK):
+    """q/k/v: [B, N, S, D]; key_mask: [B, 1, S]; bias: [B, S_q, S_k] fp32.
+
+    The bias is shared across heads (the EliGen mask layout,
+    qwen_image_dit.py:496 broadcasts over the head axis)."""
+    b, n, sq, d = q.shape
+    sk = k.shape[2]
+    nq, nk = sq // block_q, sk // block_k
+    scale = 1.0 / (d ** 0.5)
+    kernel = functools.partial(_flash_kernel_bias, scale=scale, bk_total=nk)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b_, h, qi, ki: (b_, 0, ki)),
+            pl.BlockSpec((1, block_q, block_k), lambda b_, h, qi, ki: (b_, qi, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b_, h, qi, ki: (b_, h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+    )(q, k, v, key_mask, bias)
+
+
+def flash_attention_bnsd(q, k, v, key_mask=None, bias=None,
                          block_q: int = DEFAULT_BQ, block_k: int = DEFAULT_BK):
     """Heads-major fused attention: q/k/v [B, N, S, D] -> [B, N, S, D].
 
     The layout the DiT block uses natively — no transposes; only tail
     padding to block multiples (cheap; the joint 256+8192 sequence at the
-    1024-sq workload is already a 256-multiple)."""
+    1024-sq workload is already a 256-multiple).  `bias` is an optional
+    head-shared additive [B, S, S] mask (EliGen)."""
     b, n, s, d = q.shape
     if key_mask is None:
         key_mask = jnp.ones((b, s), bool)
@@ -115,7 +189,13 @@ def flash_attention_bnsd(q, k, v, key_mask=None,
     kt = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
     vt = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
     mask = jnp.pad(key_mask.astype(bool), ((0, 0), (0, pad_k)))[:, None, :]
-    out = _flash_bnsd(qt, kt, vt, mask, block_q=block_q, block_k=block_k)
+    if bias is not None:
+        bias = jnp.pad(bias.astype(jnp.float32),
+                       ((0, 0), (0, pad_q), (0, pad_k)))
+        out = _flash_bnsd_bias(qt, kt, vt, mask, bias,
+                               block_q=block_q, block_k=block_k)
+    else:
+        out = _flash_bnsd(qt, kt, vt, mask, block_q=block_q, block_k=block_k)
     return out[:, :, :s]
 
 

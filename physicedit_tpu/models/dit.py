@@ -129,7 +129,8 @@ def _modulate(x, shift, scale, eps):
 
 def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
                   img_cos, img_sin, txt_cos, txt_sin,
-                  joint_key_mask, attn_impl: str = "xla", lora=None):
+                  joint_key_mask, attn_impl: str = "xla", lora=None,
+                  attn_bias=None):
     """One dual-stream block (qwen_image_dit.py:359-401).
 
     image: [B, S_i, dim]; text: [B, S_t, dim]; temb_silu: [B, dim] (SiLU
@@ -193,9 +194,11 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
     if attn_impl == "pallas":
         from physicedit_tpu.kernels.flash_attention import flash_attention_bnsd
 
-        out = flash_attention_bnsd(q, k, v, key_mask=joint_key_mask)
+        out = flash_attention_bnsd(q, k, v, key_mask=joint_key_mask,
+                                   bias=attn_bias)
     else:
-        out = sdpa_bnsd(q, k, v, key_mask=joint_key_mask)
+        bias4 = None if attn_bias is None else attn_bias[:, None]
+        out = sdpa_bnsd(q, k, v, key_mask=joint_key_mask, bias=bias4)
     out = out.transpose(0, 2, 1, 3).reshape(b, s_t + s_i, d)
     txt_attn, img_attn = out[:, :s_t], out[:, s_t:]
 
@@ -222,7 +225,8 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
 def dit_forward(params, cfg: DiTConfig, img_tokens, txt_tokens, timestep,
                 img_cos, img_sin, txt_cos, txt_sin,
                 txt_key_mask=None, attn_impl: str = "xla",
-                use_remat: bool = False, lora=None, control=None):
+                use_remat: bool = False, lora=None, control=None,
+                attn_bias=None):
     """Full DiT forward over patchified tokens.
 
     img_tokens: [B, S_i, 64] patchified latents (base image tokens first,
@@ -258,7 +262,8 @@ def dit_forward(params, cfg: DiTConfig, img_tokens, txt_tokens, timestep,
     body_fn = functools.partial(
         block_forward, cfg=cfg,
         img_cos=img_cos, img_sin=img_sin, txt_cos=txt_cos, txt_sin=txt_sin,
-        joint_key_mask=joint_key_mask, attn_impl=attn_impl)
+        joint_key_mask=joint_key_mask, attn_impl=attn_impl,
+        attn_bias=attn_bias)
 
     def apply_block(block_params, block_lora, ctl_block, text, image):
         text, image = body_fn(block_params, image=image, text=text,

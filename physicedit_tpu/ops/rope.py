@@ -116,3 +116,16 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     out1 = x0 * sin + x1 * cos
     out = jnp.stack([out0, out1], axis=-1).reshape(x.shape)
     return out.astype(in_dtype)
+
+
+def text_rope_tables(txt_len: int, max_vid_index: int,
+                     axes_dim: tuple = AXES_DIM):
+    """Standalone text cos/sin table starting at max_vid_index (the layout
+    used per EliGen prompt segment, qwen_image_dit.py:441-445)."""
+    ang = _axis_angles(np.arange(max_vid_index, max_vid_index + txt_len), axes_dim)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def max_vid_index_of(img_shapes: list, scale_rope: bool = True) -> int:
+    return max((max(h // 2, w // 2) if scale_rope else max(h, w))
+               for _, h, w in img_shapes)

@@ -271,6 +271,14 @@ class PhysicEditPipeline:
         ids, hidden = self._vl_hidden(P.T2I_TEMPLATE.format(prompt), [])
         return hidden[self.t2i_drop_idx:], None
 
+    def encode_prompt_edit_multi(self, prompt: str, edit_images: list):
+        """Multi-image edit prompt ("Picture i:" convention,
+        qwen_image_physical.py:802-813).  No special-token suffix here,
+        matching the reference multi path."""
+        text = P.multi_edit_prompt_text(prompt, len(edit_images))
+        ids, hidden = self._vl_hidden(text, edit_images)
+        return hidden[self.edit_drop_idx:], None
+
     def reason_physical(self, prompt: str, edit_image,
                         max_new_tokens: int = 1000) -> str:
         """Inference-time physical reasoner (qwen_image_physical.py:943-986)."""
@@ -323,7 +331,11 @@ class PhysicEditPipeline:
                  edit_image_auto_resize: bool = True,
                  edit_rope_interpolation: bool = False,
                  have_text_reasoning: bool = True,
-                 input_image=None):
+                 input_image=None,
+                 context_image=None,
+                 eligen_entity_prompts: list | None = None,
+                 eligen_entity_masks: list | None = None,
+                 eligen_enable_on_negative: bool = False):
         height, width = (height + 15) // 16 * 16, (width + 15) // 16 * 16
         lat_h, lat_w = height // 8, width // 8
 
@@ -342,30 +354,90 @@ class PhysicEditPipeline:
         else:
             latents = noise
 
+        multi_edit = isinstance(edit_image, (list, tuple))
+        edit_images = list(edit_image) if multi_edit else (
+            [edit_image] if edit_image is not None else [])
+
         img_shapes = [(1, lat_h // 2, lat_w // 2)]
-        extra_tokens = None
-        if edit_image is not None:
-            resized = (self.edit_image_auto_resize(edit_image)
-                       if edit_image_auto_resize else edit_image)
-            edit_latents = self.encode_image(resized)
-            eh, ew = edit_latents.shape[1], edit_latents.shape[2]
-            img_shapes.append((1, eh // 2, ew // 2))
-            extra_tokens = patchify(edit_latents)
+        token_parts = []
+        if context_image is not None:
+            # In-context control image at the output resolution
+            # (qwen_image_physical.py:1286-1299,1347-1350).
+            lat = self.encode_image(context_image.resize((width, height)))
+            img_shapes.append((1, lat.shape[1] // 2, lat.shape[2] // 2))
+            token_parts.append(patchify(lat))
+        for im in edit_images:
+            resized = (self.edit_image_auto_resize(im)
+                       if edit_image_auto_resize else im)
+            lat = self.encode_image(resized)
+            img_shapes.append((1, lat.shape[1] // 2, lat.shape[2] // 2))
+            token_parts.append(patchify(lat))
+        extra_tokens = (jnp.concatenate(token_parts, axis=1)
+                        if token_parts else None)
 
         physical_txt = ""
-        if have_text_reasoning and edit_image is not None:
-            physical_txt = self.reason_physical(prompt, edit_image)
+        if have_text_reasoning and edit_images:
+            physical_txt = self.reason_physical(prompt, edit_images[0])
 
         # Prompt encoding (CFG positive + negative, batched along batch).
-        if edit_image is not None:
+        if multi_edit:
+            emb_p, special_p = self.encode_prompt_edit_multi(
+                prompt + physical_txt, edit_images)
+            emb_n, special_n = self.encode_prompt_edit_multi(
+                negative_prompt, edit_images)
+        elif edit_images:
             emb_p, special_p = self.encode_prompt_edit(
-                prompt + physical_txt, edit_image)
-            emb_n, special_n = self.encode_prompt_edit(negative_prompt, edit_image)
+                prompt + physical_txt, edit_images[0])
+            emb_n, special_n = self.encode_prompt_edit(
+                negative_prompt, edit_images[0])
         else:
             emb_p, special_p = self.encode_prompt(prompt + physical_txt)
             emb_n, special_n = self.encode_prompt(negative_prompt)
 
         use_cfg = cfg_scale != 1.0
+
+        # Optional EliGen entity control: entity prompt segments are
+        # prepended to the text stream with a spatial attention bias
+        # (pipeline/eligen.py; reference EntityControl unit +
+        # process_entity_masks).
+        attn_bias = None
+        txt_tables = None
+        if eligen_entity_prompts and eligen_entity_masks:
+            from physicedit_tpu.pipeline import eligen as EL
+
+            entity_embs = [self.encode_prompt(p)[0] for p in eligen_entity_prompts]
+            ent_lens = [e.shape[0] for e in entity_embs]
+            offset = int(np.sum(ent_lens))
+            seq_lens_p = ent_lens + [emb_p.shape[0]]
+            emb_p = np.concatenate(entity_embs + [emb_p], axis=0)
+            if special_p is not None:
+                special_p = special_p + offset
+            if use_cfg and eligen_enable_on_negative:
+                nega_entities = [emb_n] * len(ent_lens)
+                seq_lens_n = [e.shape[0] for e in nega_entities] + [emb_n.shape[0]]
+                emb_n = np.concatenate(nega_entities + [emb_n], axis=0)
+                if special_n is not None:
+                    special_n = special_n + int(np.sum(seq_lens_n[:-1]))
+            else:
+                seq_lens_n = None
+
+            masks_lat = [EL.downsample_entity_mask(m, lat_h, lat_w)
+                         for m in eligen_entity_masks]
+            base_tokens = (lat_h // 2) * (lat_w // 2)
+            image_seq = base_tokens + (0 if extra_tokens is None
+                                       else extra_tokens.shape[1])
+            bias_p = EL.build_entity_bias(masks_lat, seq_lens_p, image_seq,
+                                          base_tokens)
+
+            # Per-segment text rope (restarts at max_vid_index per segment).
+            mvi = m_rope.max_vid_index_of(img_shapes)
+            cs = [m_rope.text_rope_tables(l, mvi, self.rope_axes)
+                  for l in seq_lens_p]
+            txt_tables = (np.concatenate([c for c, _ in cs]),
+                          np.concatenate([s for _, s in cs]))
+        else:
+            bias_p = None
+
         embs = [emb_p, emb_n] if use_cfg else [emb_p]
         specials = [special_p, special_n] if use_cfg else [special_p]
         s_t = max(e.shape[0] for e in embs)
@@ -376,6 +448,27 @@ class PhysicEditPipeline:
             prompt_emb[i, : e.shape[0]] = e
             txt_mask[i, : e.shape[0]] = True
 
+        if bias_p is not None:
+            def place(bias, txt_len):
+                """Re-seat an unpadded [txt+img, txt+img] bias into the
+                padded joint layout [s_t + img, s_t + img]."""
+                img = bias.shape[0] - txt_len
+                out = np.zeros((s_t + img, s_t + img), np.float32)
+                out[:txt_len, :txt_len] = bias[:txt_len, :txt_len]
+                out[:txt_len, s_t:] = bias[:txt_len, txt_len:]
+                out[s_t:, :txt_len] = bias[txt_len:, :txt_len]
+                out[s_t:, s_t:] = bias[txt_len:, txt_len:]
+                return out
+
+            img_tok = bias_p.shape[0] - emb_p.shape[0]
+            attn_bias = np.zeros((b, s_t + img_tok, s_t + img_tok), np.float32)
+            attn_bias[0] = place(bias_p, emb_p.shape[0])
+            if use_cfg and seq_lens_n is not None:
+                bias_n = EL.build_entity_bias(masks_lat, seq_lens_n,
+                                              img_tok, base_tokens)
+                attn_bias[1] = place(bias_n, emb_n.shape[0])
+            attn_bias = jnp.asarray(attn_bias)
+
         adapter_params = self.adapters.get("visual_thinking_adapter")
         special_idx = None
         if adapter_params is not None and all(s is not None for s in specials):
@@ -384,6 +477,13 @@ class PhysicEditPipeline:
         ropes = m_rope.build_rope_tables(
             img_shapes, s_t, edit_rope_interpolation=edit_rope_interpolation,
             axes_dim=self.rope_axes)
+        if txt_tables is not None:
+            tc, ts = txt_tables
+            if tc.shape[0] < s_t:  # pad (masked positions)
+                padlen = s_t - tc.shape[0]
+                tc = np.concatenate([tc, np.ones((padlen, tc.shape[1]), np.float32)])
+                ts = np.concatenate([ts, np.zeros((padlen, ts.shape[1]), np.float32)])
+            ropes = (ropes[0], ropes[1], tc[:s_t], ts[:s_t])
 
         latents = denoise(
             self.dit_params, self.dit_cfg, latents,
@@ -395,7 +495,7 @@ class PhysicEditPipeline:
             latent_hw=(lat_h, lat_w),
             adapter_params=adapter_params, special_idx=special_idx,
             t_min=self.t_min, t_max=self.t_max, attn_impl=self.attn_impl,
-            lora=self.dit_lora)
+            lora=self.dit_lora, attn_bias=attn_bias)
 
         return self.decode_image(latents)
 

@@ -61,6 +61,7 @@ def denoise(
     control_cond=None,     # [B, S_base, dim] processed conditioning
     control_scales=None,   # [T] per-step gate (controlnet_step_scales)
     lora=None,             # trainable DiT LoRA factors (train-time eval)
+    attn_bias=None,        # [B, S, S] EliGen entity-mask bias
 ):
     """Run the full denoise schedule; returns final latents [1, h, w, 16]."""
     h, w = latent_hw
@@ -95,7 +96,7 @@ def denoise(
         out = dit_forward(dit_params, cfg, img_tokens, p_emb, t_norm,
                           img_cos, img_sin, txt_cos, txt_sin,
                           txt_key_mask=txt_mask, attn_impl=attn_impl,
-                          control=control, lora=lora)
+                          control=control, lora=lora, attn_bias=attn_bias)
         base_tokens = out[:, : (h // 2) * (w // 2)]
         v = unpatchify(base_tokens, h, w)
 

@@ -209,3 +209,23 @@ def test_special_token_positions(tiny_pipe):
     emb, special = tiny_pipe.encode_prompt_edit("shift the box", edit)
     assert emb.ndim == 2 and emb.shape[1] == 64
     assert special is not None and special.shape == (64,)
+
+
+def test_multi_image_edit(tiny_pipe):
+    rng = np.random.default_rng(5)
+    imgs = [Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+            for _ in range(2)]
+    out = tiny_pipe("merge the scenes", edit_image=imgs, height=64, width=64,
+                    seed=2, num_inference_steps=2, have_text_reasoning=False,
+                    edit_image_auto_resize=False)
+    assert out.size == (64, 64)
+
+
+def test_context_image(tiny_pipe):
+    rng = np.random.default_rng(6)
+    edit = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    ctx = Image.fromarray(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8))
+    out = tiny_pipe("apply the style", edit_image=edit, context_image=ctx,
+                    height=64, width=64, seed=3, num_inference_steps=2,
+                    have_text_reasoning=False, edit_image_auto_resize=False)
+    assert out.size == (64, 64)
