@@ -15,6 +15,10 @@ import numpy as np
 
 
 def linear(p, x):
+    if "w_q" in p:  # int8 W8A8 path (ops/quant.py)
+        from physicedit_tpu.ops.quant import int8_linear
+
+        return int8_linear(p, x)
     out = x @ p["w"]
     if "b" in p:
         out = out + p["b"]

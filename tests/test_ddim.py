@@ -43,3 +43,26 @@ def test_ddim_add_noise_parity():
     out_ref = ref.add_noise(torch.tensor(x0), torch.tensor(eps), t)
     out = ddim.ddim_add_noise(x0, eps, sched.alphas_cumprod[500])
     np.testing.assert_allclose(out, out_ref.numpy(), rtol=1e-5)
+
+
+@requires_reference
+def test_continuous_ode_trajectory_parity():
+    import torch
+
+    from physicedit_tpu.sampling import continuous_ode as ode
+
+    ref_mod = load_ref_module("schedulers.continuous_ode")
+    ref = ref_mod.ContinuousODEScheduler(num_inference_steps=8)
+    sched = ode.build_ode_schedule(8)
+    np.testing.assert_allclose(sched.sigmas, ref.sigmas.numpy(), rtol=1e-5)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)
+    x_ref = torch.tensor(x.copy())
+    x_our = x.copy()
+    for i, t in enumerate(ref.timesteps):
+        v = np.tanh(x_our)
+        x_ref = ref.step(torch.tensor(v), t, x_ref.clone())
+        x_our = ode.ode_step(x_our, v, sched.sigmas[i], sched.sigmas_next[i],
+                             bool(sched.is_last[i]))
+        np.testing.assert_allclose(x_our, x_ref.numpy(), rtol=1e-3, atol=1e-4)
