@@ -45,6 +45,43 @@ def _fused_qkv(sd, prefixes, dtype):
     }
 
 
+def dit_block_from_torch(sd: dict, i: int, dtype=jnp.bfloat16):
+    """One transformer block (key space transformer_blocks.{i}.*)."""
+    b = f"transformer_blocks.{i}"
+    return {
+        "img_mod": _lin(sd, f"{b}.img_mod.1", dtype),
+        "txt_mod": _lin(sd, f"{b}.txt_mod.1", dtype),
+        "attn": {
+            "img_qkv": _fused_qkv(
+                sd, [f"{b}.attn.to_q", f"{b}.attn.to_k", f"{b}.attn.to_v"], dtype),
+            "txt_qkv": _fused_qkv(
+                sd, [f"{b}.attn.add_q_proj", f"{b}.attn.add_k_proj",
+                     f"{b}.attn.add_v_proj"], dtype),
+            "norm_q": {"scale": _t(sd, f"{b}.attn.norm_q.weight", dtype)},
+            "norm_k": {"scale": _t(sd, f"{b}.attn.norm_k.weight", dtype)},
+            "norm_added_q": {"scale": _t(sd, f"{b}.attn.norm_added_q.weight", dtype)},
+            "norm_added_k": {"scale": _t(sd, f"{b}.attn.norm_added_k.weight", dtype)},
+            "to_out": _lin(sd, f"{b}.attn.to_out.0", dtype),
+            "to_add_out": _lin(sd, f"{b}.attn.to_add_out", dtype),
+        },
+        "img_mlp": {
+            "fc1": _lin(sd, f"{b}.img_mlp.net.0.proj", dtype),
+            "fc2": _lin(sd, f"{b}.img_mlp.net.2", dtype),
+        },
+        "txt_mlp": {
+            "fc1": _lin(sd, f"{b}.txt_mlp.net.0.proj", dtype),
+            "fc2": _lin(sd, f"{b}.txt_mlp.net.2", dtype),
+        },
+    }
+
+
+def dit_blocks_from_torch(sd: dict, num_layers: int, dtype=jnp.bfloat16):
+    import jax
+
+    blocks = [dit_block_from_torch(sd, i, dtype) for i in range(num_layers)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+
+
 def dit_from_torch(sd: dict, num_layers: int | None = None, dtype=jnp.bfloat16):
     """Convert a Qwen-Image DiT state dict to the stacked-block pytree.
 
@@ -55,38 +92,7 @@ def dit_from_torch(sd: dict, num_layers: int | None = None, dtype=jnp.bfloat16):
             int(k.split(".")[1]) for k in sd if k.startswith("transformer_blocks.")
         )
 
-    def block(i):
-        b = f"transformer_blocks.{i}"
-        return {
-            "img_mod": _lin(sd, f"{b}.img_mod.1", dtype),
-            "txt_mod": _lin(sd, f"{b}.txt_mod.1", dtype),
-            "attn": {
-                "img_qkv": _fused_qkv(
-                    sd, [f"{b}.attn.to_q", f"{b}.attn.to_k", f"{b}.attn.to_v"], dtype),
-                "txt_qkv": _fused_qkv(
-                    sd, [f"{b}.attn.add_q_proj", f"{b}.attn.add_k_proj",
-                         f"{b}.attn.add_v_proj"], dtype),
-                "norm_q": {"scale": _t(sd, f"{b}.attn.norm_q.weight", dtype)},
-                "norm_k": {"scale": _t(sd, f"{b}.attn.norm_k.weight", dtype)},
-                "norm_added_q": {"scale": _t(sd, f"{b}.attn.norm_added_q.weight", dtype)},
-                "norm_added_k": {"scale": _t(sd, f"{b}.attn.norm_added_k.weight", dtype)},
-                "to_out": _lin(sd, f"{b}.attn.to_out.0", dtype),
-                "to_add_out": _lin(sd, f"{b}.attn.to_add_out", dtype),
-            },
-            "img_mlp": {
-                "fc1": _lin(sd, f"{b}.img_mlp.net.0.proj", dtype),
-                "fc2": _lin(sd, f"{b}.img_mlp.net.2", dtype),
-            },
-            "txt_mlp": {
-                "fc1": _lin(sd, f"{b}.txt_mlp.net.0.proj", dtype),
-                "fc2": _lin(sd, f"{b}.txt_mlp.net.2", dtype),
-            },
-        }
-
-    import jax
-
-    blocks = [block(i) for i in range(num_layers)]
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+    stacked = dit_blocks_from_torch(sd, num_layers, dtype)
 
     return {
         "img_in": _lin(sd, "img_in", dtype),

@@ -1,0 +1,85 @@
+"""Sequence-parallel ring attention over the device mesh.
+
+The TPU-native replacement for the reference's vestigial xfuser USP module
+(diffsynth/distributed/xdit_context_parallel.py: Ulysses x ring hybrid over
+NCCL P2P, written but never wired in).  Here the sequence axis of the joint
+attention is sharded over a mesh axis; K/V shards rotate around the ring
+with `lax.ppermute` while each device keeps online-softmax running stats —
+the collectives ride ICI and overlap with the per-chunk compute.
+
+Each per-chunk partial uses a dense [S/n, S/n] score tile (about 1k x 1k at
+the 1024-sq workload on an 8-way ring — small enough that the MXU tile is
+the right primitive; no second-level flash needed inside a chunk).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _chunk_attention_stats(q, k, v, key_mask, scale):
+    """One K/V chunk: returns (out_unnorm, m, l) online-softmax partials.
+
+    q: [B, N, Sq, D]; k/v: [B, N, Sc, D]; key_mask: [B, Sc].
+    """
+    s = jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    s = jnp.where(key_mask[:, None, None, :], s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)                      # [B,N,Sq,1]
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bnqk,bnkd->bnqd", p.astype(v.dtype), v).astype(jnp.float32)
+    return o, m, l
+
+
+def _ring_body(axis_name, q, k, v, key_mask, scale, n_shards):
+    def step(carry, _):
+        o_acc, m_acc, l_acc, k_cur, v_cur, mask_cur = carry
+        o, m, l = _chunk_attention_stats(q, k_cur, v_cur, mask_cur, scale)
+        m_new = jnp.maximum(m_acc, m)
+        alpha_acc = jnp.exp(m_acc - m_new)
+        alpha = jnp.exp(m - m_new)
+        o_acc = o_acc * alpha_acc + o * alpha
+        l_acc = l_acc * alpha_acc + l * alpha
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+        mask_cur = jax.lax.ppermute(mask_cur, axis_name, perm)
+        return (o_acc, m_acc * 0 + m_new, l_acc, k_cur, v_cur, mask_cur), None
+
+    # Derive the accumulators from q so they carry the same varying-manual-
+    # axes type as the rotated K/V (new-shard_map VMA analysis).
+    zero = q.astype(jnp.float32) * 0.0
+    init = (zero, zero[..., :1] - 1e30, zero[..., :1], k, v, key_mask)
+    (o, m, l, *_), _ = jax.lax.scan(step, init, None, length=n_shards)
+    return (o / jnp.maximum(l, 1e-30)).astype(q.dtype)
+
+
+def ring_attention(q, k, v, key_mask, mesh: Mesh, axis: str = "model"):
+    """Sequence-sharded attention: q/k/v [B, N, S, D] sharded on S over
+    `axis`; key_mask [B, S] likewise.  Returns [B, N, S, D], same sharding.
+
+    S must divide evenly by the axis size (pad + mask first).
+    """
+    n_shards = mesh.shape[axis]
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    body = functools.partial(_ring_body, axis, scale=scale, n_shards=n_shards)
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    spec_qkv = P(None, None, axis, None)
+    spec_mask = P(None, axis)
+    fn = shard_map(
+        lambda q_, k_, v_, m_: body(q=q_, k=k_, v=v_, key_mask=m_),
+        mesh=mesh,
+        in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_mask),
+        out_specs=spec_qkv,
+    )
+    return fn(q, k, v, key_mask)

@@ -94,39 +94,9 @@ def test_block_parity_tiny():
 
 
 def dit_from_torch_blocks_only(sd, num_layers, dtype):
-    """Helper: run the converter's block mapping without top-level weights."""
-    from physicedit_tpu.io import convert as C
+    from physicedit_tpu.io.convert import dit_blocks_from_torch
 
-    def block(i):
-        b = f"transformer_blocks.{i}"
-        return {
-            "img_mod": C._lin(sd, f"{b}.img_mod.1", dtype),
-            "txt_mod": C._lin(sd, f"{b}.txt_mod.1", dtype),
-            "attn": {
-                "img_qkv": C._fused_qkv(
-                    sd, [f"{b}.attn.to_q", f"{b}.attn.to_k", f"{b}.attn.to_v"], dtype),
-                "txt_qkv": C._fused_qkv(
-                    sd, [f"{b}.attn.add_q_proj", f"{b}.attn.add_k_proj",
-                         f"{b}.attn.add_v_proj"], dtype),
-                "norm_q": {"scale": C._t(sd, f"{b}.attn.norm_q.weight", dtype)},
-                "norm_k": {"scale": C._t(sd, f"{b}.attn.norm_k.weight", dtype)},
-                "norm_added_q": {"scale": C._t(sd, f"{b}.attn.norm_added_q.weight", dtype)},
-                "norm_added_k": {"scale": C._t(sd, f"{b}.attn.norm_added_k.weight", dtype)},
-                "to_out": C._lin(sd, f"{b}.attn.to_out.0", dtype),
-                "to_add_out": C._lin(sd, f"{b}.attn.to_add_out", dtype),
-            },
-            "img_mlp": {
-                "fc1": C._lin(sd, f"{b}.img_mlp.net.0.proj", dtype),
-                "fc2": C._lin(sd, f"{b}.img_mlp.net.2", dtype),
-            },
-            "txt_mlp": {
-                "fc1": C._lin(sd, f"{b}.txt_mlp.net.0.proj", dtype),
-                "fc2": C._lin(sd, f"{b}.txt_mlp.net.2", dtype),
-            },
-        }
-
-    blocks = [block(i) for i in range(num_layers)]
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+    return dit_blocks_from_torch(sd, num_layers, dtype)
 
 
 def test_tiny_dit_forward_shapes():

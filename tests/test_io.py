@@ -16,7 +16,7 @@ def test_hash_matches_reference_algorithm():
     s = sio.state_dict_keys_str(sd)
     # Both "key:shape" and bare "key" entries, sorted (models/utils.py:148-161)
     assert "a.weight:2_3" in s and "a.weight," in s + ","
-    assert "nested|c:1,c" in s
+    assert "nested|c,c:1" in s
 
 
 @requires_reference

@@ -69,7 +69,7 @@ def build_tiny_pipeline(with_adapter=True):
     dit_cfg = m_dit.DiTConfig(num_layers=2, dim=64, num_heads=2, head_dim=32,
                               txt_in_dim=64, patch_dim=64, time_dim=32)
     text_cfg = m_text.TINY_TEXT
-    vis_cfg = m_vis.TINY_VISION._replace_out() if False else m_vis.QwenVLVisionConfig(
+    vis_cfg = m_vis.QwenVLVisionConfig(
         depth=2, hidden_size=32, num_heads=2, intermediate_size=64,
         window_size=56, fullatt_block_indexes=(1,), out_hidden_size=64)
     vae_cfg = m_vae.VAEConfig(base_dim=8)

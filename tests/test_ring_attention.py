@@ -1,0 +1,48 @@
+"""Ring attention over an 8-device mesh vs single-device full attention."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from physicedit_tpu.parallel import ring_attention as ra
+from physicedit_tpu.parallel import sharding as sh
+from physicedit_tpu.ops.attention import sdpa_bnsd
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ring_attention_matches_full():
+    mesh = sh.create_mesh(1, 8)
+    rng = np.random.default_rng(0)
+    b, n, s, d = 1, 2, 8 * 64, 64
+    q = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    mask = np.ones((b, s), bool)
+    mask[0, 500:] = False  # padded tail spanning the last shard
+    mask_j = jnp.asarray(mask)
+
+    out = ra.ring_attention(q, k, v, mask_j, mesh, axis=sh.MODEL_AXIS)
+    ref = sdpa_bnsd(q, k, v, key_mask=mask_j)
+    np.testing.assert_allclose(np.asarray(out)[:, :, mask[0]],
+                               np.asarray(ref)[:, :, mask[0]],
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ring_attention_sharded_inputs():
+    """Inputs physically sharded on the sequence axis stay sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = sh.create_mesh(1, 8)
+    rng = np.random.default_rng(1)
+    b, n, s, d = 1, 2, 8 * 32, 32
+    sharding = NamedSharding(mesh, P(None, None, sh.MODEL_AXIS, None))
+    q = jax.device_put(jnp.asarray(rng.normal(size=(b, n, s, d)), jnp.float32), sharding)
+    k = jax.device_put(jnp.asarray(rng.normal(size=(b, n, s, d)), jnp.float32), sharding)
+    v = jax.device_put(jnp.asarray(rng.normal(size=(b, n, s, d)), jnp.float32), sharding)
+    mask = jax.device_put(jnp.ones((b, s), bool),
+                          NamedSharding(mesh, P(None, sh.MODEL_AXIS)))
+    out = ra.ring_attention(q, k, v, mask, mesh, axis=sh.MODEL_AXIS)
+    ref = sdpa_bnsd(q, k, v, key_mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
