@@ -155,7 +155,14 @@ class Trainer:
             pipe.dinov2_params, pipe.dinov2_cfg,
             jnp.asarray(dino_src, jnp.float32)))
 
-        mid_lat = jnp.concatenate([pipe.encode_image(k) for k in keys], 0)
+        # One batched VAE encode for all key frames (same crop size).
+        mid_arr = np.stack([np.asarray(k.convert("RGB"), np.float32) / 127.5 - 1.0
+                            for k in keys])
+        from physicedit_tpu.models import vae as m_vae
+
+        mid_lat = m_vae.encode_jit(pipe.vae_params,
+                                   jnp.asarray(mid_arr, jnp.float32),
+                                   pipe.vae_cfg)
         vae_mid = np.asarray(patchify(mid_lat))
         vae_src = np.asarray(edit_tokens)
 
