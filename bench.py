@@ -37,16 +37,21 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timeit(fn, *args, warmup=2, iters=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(warmup - 1):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
+def timeit(fn, make_args, warmup=2, iters=5):
+    """fn(*make_args(i)) with FRESH inputs per call: the axon TPU runtime
+    dedups repeated launches with identical argument buffers, which would
+    make same-args timing loops read near-zero."""
+    for i in range(warmup):
+        jax.block_until_ready(fn(*make_args(i)))
+    times = []
+    for i in range(iters):
+        args = make_args(warmup + i)
+        jax.block_until_ready(args)
+        t0 = time.perf_counter()
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 def zeros_like_shapes(shape_tree):
@@ -81,7 +86,6 @@ def main():
         [(1, grid, grid), (1, grid, grid)], s_t))
     img_tokens = jnp.zeros((b, 2 * s_img, 64), dtype)
     txt_tokens = jnp.zeros((b, s_t, 3584), dtype)
-    timestep = jnp.full((b,), 0.5, dtype)
     mask = jnp.ones((b, s_t), bool)
 
     times = {}
@@ -96,7 +100,11 @@ def main():
                                     txt_cos, txt_sin, txt_key_mask=mask,
                                     attn_impl=attn_impl)
 
-        times[n_layers] = timeit(jax.jit(fwd), params, img_tokens, txt_tokens, timestep,
+        def make_args(i, params=params):
+            return (params, img_tokens, txt_tokens,
+                    jnp.full((b,), 0.5 + 0.001 * i, dtype))
+
+        times[n_layers] = timeit(jax.jit(fwd), make_args,
                                  iters=3 if platform == "cpu" else 5)
         log(f"dit fwd {n_layers} layers: {times[n_layers]*1e3:.1f} ms")
         del params
@@ -111,8 +119,9 @@ def main():
     # ---- VAE decode at 1024 sq ----------------------------------------
     vae_params = jax.tree_util.tree_map(
         lambda x: x.astype(dtype), init_vae_params())
-    z = jnp.zeros((1, lat, lat, 16), dtype)
-    vae_s = timeit(jax.jit(lambda p, z: jvae.decode(p, z)), vae_params, z,
+    vae_s = timeit(jax.jit(lambda p, z: jvae.decode(p, z)),
+                   lambda i: (vae_params,
+                              jnp.full((1, lat, lat, 16), 0.01 * i, dtype)),
                    iters=3)
     log(f"vae decode 1024^2: {vae_s*1e3:.1f} ms")
 
