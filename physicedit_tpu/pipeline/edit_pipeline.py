@@ -324,6 +324,8 @@ class PhysicEditPipeline:
 
     def __call__(self, prompt: str, negative_prompt: str = "",
                  edit_image=None, cfg_scale: float = 4.0,
+                 inpaint_mask=None, inpaint_blur_size: int | None = None,
+                 inpaint_blur_sigma: float | None = None,
                  height: int = 1328, width: int = 1328, seed: int | None = None,
                  num_inference_steps: int = 40,
                  exponential_shift_mu: float | None = None,
@@ -346,6 +348,7 @@ class PhysicEditPipeline:
             exponential_shift_mu=exponential_shift_mu)
 
         noise = self.generate_noise((1, lat_h, lat_w, 16), seed)
+        input_latents = None
         if input_image is not None:
             input_latents = self.encode_image(input_image.resize((width, height)))
             latents = (fm.add_noise(input_latents.astype(jnp.float32),
@@ -353,6 +356,16 @@ class PhysicEditPipeline:
                        .astype(self.dtype))
         else:
             latents = noise
+
+        inpaint_mask_lat = None
+        if inpaint_mask is not None and input_latents is not None:
+            # Latent-resolution soft mask (QwenImageUnit_Inpaint,
+            # qwen_image_physical.py:714-729): mean over RGB, optional blur.
+            m = inpaint_mask.convert("RGB").resize((lat_w, lat_h))
+            arr = np.asarray(m, np.float32).mean(-1) / 255.0
+            if inpaint_blur_size is not None and inpaint_blur_sigma is not None:
+                arr = _gaussian_blur(arr, inpaint_blur_size, inpaint_blur_sigma)
+            inpaint_mask_lat = jnp.asarray(arr[None, :, :, None])
 
         multi_edit = isinstance(edit_image, (list, tuple))
         edit_images = list(edit_image) if multi_edit else (
@@ -495,9 +508,27 @@ class PhysicEditPipeline:
             latent_hw=(lat_h, lat_w),
             adapter_params=adapter_params, special_idx=special_idx,
             t_min=self.t_min, t_max=self.t_max, attn_impl=self.attn_impl,
-            lora=self.dit_lora, attn_bias=attn_bias)
+            lora=self.dit_lora, attn_bias=attn_bias,
+            inpaint_mask=inpaint_mask_lat, input_latents=input_latents)
 
         return self.decode_image(latents)
+
+
+def _gaussian_blur(arr: np.ndarray, blur_size: int, sigma: float) -> np.ndarray:
+    """Separable Gaussian blur (torchvision GaussianBlur equivalent with
+    kernel_size = 2*blur_size + 1)."""
+    k = 2 * blur_size + 1
+    x = np.arange(k) - blur_size
+    g = np.exp(-0.5 * (x / sigma) ** 2)
+    g /= g.sum()
+    pad = blur_size
+    padded = np.pad(arr, ((pad, pad), (0, 0)), mode="reflect")
+    arr = np.stack([np.convolve(padded[:, j], g, mode="valid")
+                    for j in range(arr.shape[1])], axis=1)
+    padded = np.pad(arr, ((0, 0), (pad, pad)), mode="reflect")
+    arr = np.stack([np.convolve(padded[i, :], g, mode="valid")
+                    for i in range(arr.shape[0])], axis=0)
+    return arr
 
 
 def _remap_text_encoder_keys(sd: dict) -> dict:

@@ -62,6 +62,8 @@ def denoise(
     control_scales=None,   # [T] per-step gate (controlnet_step_scales)
     lora=None,             # trainable DiT LoRA factors (train-time eval)
     attn_bias=None,        # [B, S, S] EliGen entity-mask bias
+    inpaint_mask=None,     # [1, h, w, 1] in [0,1]; 1 = repaint region
+    input_latents=None,    # [1, h, w, 16] clean latents (inpaint source)
 ):
     """Run the full denoise schedule; returns final latents [1, h, w, 16]."""
     h, w = latent_hw
@@ -103,6 +105,14 @@ def denoise(
         if batch == 2:
             v_posi, v_nega = v[:1], v[1:]
             v = v_nega + cfg_scale * (v_posi - v_nega)
+        if inpaint_mask is not None and input_latents is not None:
+            # Outside the mask, replace the prediction with the velocity
+            # implied by the clean latents (BasePipeline.step inpaint
+            # blending, utils/__init__.py:150-156 + flow_match.py:85-91).
+            expected = (latents.astype(jnp.float32)
+                        - input_latents.astype(jnp.float32)) / sigma
+            v = (expected * (1.0 - inpaint_mask)
+                 + v.astype(jnp.float32) * inpaint_mask)
         latents = (latents.astype(jnp.float32)
                    + v.astype(jnp.float32) * (sigma_next - sigma)).astype(latents.dtype)
         return (latents, p_emb), None
