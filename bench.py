@@ -13,6 +13,10 @@ pipeline (BASELINE.md: no published numbers exist, so the baseline is
 80 DiT forwards of 397 TFLOP at 45% MFU on 312 TFLOPS peak -> ~0.26
 edits/min; see the constant below).
 
+The 60-block extrapolation is validated: a real 12-layer denoise scan
+(CFG + per-step special-token rewrite) measures within 0.5% of the
+per-block prediction (PARITY.md).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 

@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 DEFAULT_BQ = 256
-DEFAULT_BK = 512
+DEFAULT_BK = 1024
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,

@@ -9,7 +9,6 @@ TPU-friendly layout this framework uses for all image tensors.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def patchify(latents_nhwc: jax.Array) -> jax.Array:

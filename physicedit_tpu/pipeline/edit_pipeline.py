@@ -34,7 +34,6 @@ from physicedit_tpu.models import qwen_vl as m_text
 from physicedit_tpu.models import qwen_vl_vision as m_vis
 from physicedit_tpu.models import vae as m_vae
 from physicedit_tpu.models import dinov2 as m_dino
-from physicedit_tpu.models import adapters as m_ad
 from physicedit_tpu.ops import rope as m_rope
 from physicedit_tpu.ops.patchify import patchify
 from physicedit_tpu.pipeline import prompt as P
@@ -85,7 +84,8 @@ class PhysicEditPipeline:
     def from_pretrained(cls, model_paths: list, tokenizer_path: str | None = None,
                         dtype=jnp.bfloat16, attn_impl: str = "xla",
                         lora_path: str | None = None,
-                        finetuned_path: str | None = None):
+                        finetuned_path: str | None = None,
+                        quantize: str | None = None):
         """Build the pipeline from checkpoint files.
 
         model_paths: safetensors files/folders; each is identified by its
@@ -126,6 +126,17 @@ class PhysicEditPipeline:
             sd = _remap_text_encoder_keys(parts["qwen_image_text_encoder"])
             kw["text_params"] = C.qwen_vl_text_from_torch(sd, dtype=dtype)
             kw["vision_params"] = C.qwen_vl_vision_from_torch(sd, dtype=dtype)
+
+        if quantize == "int8":
+            # W8A8 for the DiT (compute) and the VL decoder (its greedy
+            # decode is weight-bandwidth-bound, where int8 weights halve
+            # HBM traffic).  Opt-in: small quality cost (ops/quant.py).
+            from physicedit_tpu.ops.quant import quantize_tree
+
+            if "dit_params" in kw:
+                kw["dit_params"] = quantize_tree(kw["dit_params"])
+            if "text_params" in kw:
+                kw["text_params"] = quantize_tree(kw["text_params"])
 
         pipe = cls(**kw)
         if tokenizer_path is not None:

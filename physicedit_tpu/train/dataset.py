@@ -28,7 +28,6 @@ import os
 import warnings
 from pathlib import Path
 
-import numpy as np
 
 VIDEO_EXTS = {".mp4", ".avi", ".mov", ".wmv", ".mkv", ".flv", ".webm"}
 IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".webp", ".bmp"}

@@ -119,3 +119,27 @@ def physic_training_loss(
         pred_dino, pred_vae, gt_dino, gt_vae, batch["timestep"], t_min, t_max)
     loss = mse * jnp.mean(batch["weight"]) + adapter
     return loss, {"mse": mse, "special_token_loss": adapter}
+
+
+def direct_distill_loss(dit_params, cfg: DiTConfig, latents0, extra_tokens,
+                        prompt_emb, txt_mask, ropes, sched, input_latents,
+                        lora=None, attn_impl: str = "xla"):
+    """Full-unroll distillation loss (QwenImagePhysicPipeline.direct_distill_loss,
+    qwen_image_physical.py:332-340): run the whole denoise schedule
+    differentiably and regress the result onto the clean latents.
+
+    The denoise scan is already differentiable, so this is a thin wrapper;
+    gradients flow through every step (use few steps / remat for memory).
+    """
+    import jax.numpy as jnp
+
+    from physicedit_tpu.sampling.denoise import denoise
+
+    out = denoise(
+        dit_params, cfg, latents0, extra_tokens, prompt_emb, txt_mask,
+        *ropes, jnp.asarray(sched.sigmas), jnp.asarray(sched.sigmas_next),
+        jnp.asarray(sched.timesteps), jnp.asarray(1.0),
+        latent_hw=(latents0.shape[1], latents0.shape[2]),
+        attn_impl=attn_impl, lora=lora)
+    return jnp.mean(jnp.square(out.astype(jnp.float32)
+                               - input_latents.astype(jnp.float32)))

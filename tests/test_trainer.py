@@ -104,3 +104,9 @@ def test_save_and_resume(trainer, tmp_path):
     np.testing.assert_allclose(
         np.asarray(t2.trainable["adapters"]["dino_time_embed"]),
         np.asarray(trainer.trainable["adapters"]["dino_time_embed"]), rtol=1e-6)
+
+
+def test_eval_probe(trainer):
+    strip = trainer.evaluate(0, num_inference_steps=2)
+    assert strip is not None
+    assert strip.size == (64 * 3, 64)
