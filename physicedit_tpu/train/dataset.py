@@ -302,3 +302,51 @@ class ImageEditDataset:
                     h, w = fit_resolution(img.size[0], img.size[1], self.max_pixels)
                 rec[key] = crop_and_resize(img, h, w)
         return rec
+
+
+class Pica100kDataset:
+    """PICA-100K editing-pair dataset (HF `Andrew613/PICA-100K`).
+
+    Feature-level port of the reference Pica100kDataset
+    (trainers/utils.py:685-775): each record carries a source image, target
+    image, and prompt variants; samples are returned as
+    {image=target, edit_image=source, prompt} with crop-resize to the
+    training resolution.
+    """
+
+    def __init__(self, dataset_id: str = "Andrew613/PICA-100K",
+                 split: str = "train", height: int | None = None,
+                 width: int | None = None, max_pixels: int = 1024 * 1024,
+                 prompt_column: str = "prompt",
+                 local_dataset_path: str | None = None):
+        if local_dataset_path is not None:
+            from datasets import load_from_disk
+
+            self.ds = load_from_disk(local_dataset_path)
+        else:
+            from datasets import load_dataset
+
+            self.ds = load_dataset(dataset_id, split=split)
+        self.height, self.width, self.max_pixels = height, width, max_pixels
+        self.prompt_column = prompt_column
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i: int):
+        rec = self.ds[i]
+        src = rec["source_image"].convert("RGB")
+        tgt = rec["target_image"].convert("RGB")
+        if self.height is not None and self.width is not None:
+            h, w = self.height, self.width
+        else:
+            h, w = fit_resolution(tgt.size[0], tgt.size[1], self.max_pixels)
+        prompt = rec.get(self.prompt_column) or rec.get("prompt", "")
+        return {
+            "image": crop_and_resize(tgt, h, w),
+            "edit_image": crop_and_resize(src, h, w),
+            "middle_key_frames": [],
+            "prompt": prompt,
+            "triplet": {},
+            "supported_rules": [], "contradicted_rules": [],
+        }
