@@ -24,3 +24,19 @@ Package map (mirrors SURVEY.md section 7.1):
 """
 
 __version__ = "0.1.0"
+
+# Convenience API surface (lazy to keep bare-package import cheap).
+def __getattr__(name):
+    if name == "PhysicEditPipeline":
+        from physicedit_tpu.pipeline.edit_pipeline import PhysicEditPipeline
+
+        return PhysicEditPipeline
+    if name == "Trainer":
+        from physicedit_tpu.train.trainer import Trainer
+
+        return Trainer
+    if name == "TrainConfig":
+        from physicedit_tpu.train.trainer import TrainConfig
+
+        return TrainConfig
+    raise AttributeError(name)

@@ -54,3 +54,27 @@ def test_safetensors_roundtrip(tmp_path):
     # folder loading
     sd2 = sio.load_state_dict(str(tmp_path))
     assert "w" in sd2
+
+
+def test_pica100k_dataset_from_memory(tmp_path):
+    datasets = __import__("pytest").importorskip("datasets")
+    from PIL import Image as PILImage
+
+    from physicedit_tpu.train.dataset import Pica100kDataset
+
+    rng = np.random.default_rng(0)
+    recs = {
+        "source_image": [PILImage.fromarray(
+            rng.integers(0, 255, (64, 48, 3), dtype=np.uint8)) for _ in range(2)],
+        "target_image": [PILImage.fromarray(
+            rng.integers(0, 255, (64, 48, 3), dtype=np.uint8)) for _ in range(2)],
+        "prompt": ["tilt it", "drop it"],
+    }
+    ds = datasets.Dataset.from_dict(recs)
+    ds.save_to_disk(str(tmp_path / "pica"))
+    loader = Pica100kDataset(local_dataset_path=str(tmp_path / "pica"),
+                             height=32, width=32)
+    assert len(loader) == 2
+    s = loader[1]
+    assert s["prompt"] == "drop it"
+    assert s["image"].size == (32, 32) and s["edit_image"].size == (32, 32)
