@@ -207,9 +207,13 @@ class PhysicEditPipeline:
 
             gen = None if seed is None else torch.Generator("cpu").manual_seed(seed)
             h, w, c = shape[1], shape[2], shape[3]
-            noise = torch.randn((shape[0], c, h, w), generator=gen,
-                                dtype=torch.float32)
-            return jnp.asarray(noise.numpy().transpose(0, 2, 3, 1), self.dtype)
+            # Reference draws directly in the pipeline dtype
+            # (NoiseInitializer passes rand_torch_dtype=pipe.torch_dtype,
+            # qwen_image_physical.py:688) — match the exact bitstream.
+            tdt = torch.bfloat16 if self.dtype == jnp.bfloat16 else torch.float32
+            noise = torch.randn((shape[0], c, h, w), generator=gen, dtype=tdt)
+            arr = noise.float().numpy().transpose(0, 2, 3, 1)
+            return jnp.asarray(arr, self.dtype)
         key = jax.random.PRNGKey(0 if seed is None else seed)
         return jax.random.normal(key, shape, self.dtype)
 

@@ -1,0 +1,102 @@
+"""Sweep drivers with a mock pipeline; ModelConfig resolution."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+datasets = pytest.importorskip("datasets")
+
+
+class MockPipe:
+    def __init__(self):
+        self.calls = []
+
+    def __call__(self, prompt, edit_image=None, seed=None,
+                 num_inference_steps=None, height=None, width=None,
+                 edit_image_auto_resize=True, **kw):
+        self.calls.append({"prompt": prompt, "h": height, "w": width,
+                           "seed": seed})
+        return Image.new("RGB", (width, height), (seed % 255, 0, 0))
+
+
+def _fake_pica(tmp_path, n=3):
+    rng = np.random.default_rng(0)
+    recs = {
+        "image": [Image.fromarray(rng.integers(0, 255, (70, 100, 3),
+                                               dtype=np.uint8))
+                  for _ in range(n)],
+        "intermediate_prompt": [f"int {i}" for i in range(n)],
+        "superficial_prompt": [f"sup {i}" for i in range(n)],
+        "explicit_prompt": [f"exp {i}" for i in range(n)],
+    }
+    ds = datasets.Dataset.from_dict(recs)
+    path = str(tmp_path / "pica_ds")
+    ds.save_to_disk(path)
+    return path
+
+
+def test_pica_sweep_outputs_and_skip(tmp_path):
+    from physicedit_tpu.eval.sweep import run_pica_sweep
+
+    ds_path = _fake_pica(tmp_path)
+    out_dir = str(tmp_path / "out")
+    pipe = MockPipe()
+    run_pica_sweep(pipe, out_dir, prompt_type="intermediate",
+                   local_dataset_path=ds_path, seed=42,
+                   num_inference_steps=2)
+    files = sorted(os.listdir(out_dir))
+    assert files == ["00000.jpg", "00001.jpg", "00002.jpg"]
+    assert len(pipe.calls) == 3
+    # Native sizes quantised to /32
+    assert all(c["h"] % 32 == 0 and c["w"] % 32 == 0 for c in pipe.calls)
+    assert pipe.calls[0]["prompt"] == "int 0"
+
+    # restartability: second run skips everything
+    pipe2 = MockPipe()
+    run_pica_sweep(pipe2, out_dir, prompt_type="intermediate",
+                   local_dataset_path=ds_path)
+    assert pipe2.calls == []
+
+
+def test_pica_index_sharding(tmp_path):
+    from physicedit_tpu.eval.sweep import run_pica_sweep
+
+    ds_path = _fake_pica(tmp_path)
+    out_dir = str(tmp_path / "out2")
+    pipe = MockPipe()
+    run_pica_sweep(pipe, out_dir, start_idx=1, end_idx=2,
+                   local_dataset_path=ds_path)
+    assert sorted(os.listdir(out_dir)) == ["00001.jpg"]
+
+
+def test_model_config_local_resolution(tmp_path):
+    from physicedit_tpu.io.model_config import ModelConfig
+
+    base = tmp_path / "models" / "Org" / "Model"
+    (base / "vae").mkdir(parents=True)
+    f = base / "vae" / "diffusion_pytorch_model.safetensors"
+    f.write_bytes(b"x")
+    cfg = ModelConfig(model_id="Org/Model",
+                      origin_file_pattern="vae/*.safetensors",
+                      local_model_path=str(tmp_path / "models"),
+                      skip_download=True)
+    assert cfg.download_if_necessary() == str(f)
+
+    missing = ModelConfig(model_id="Org/Model",
+                          origin_file_pattern="nope/*.safetensors",
+                          local_model_path=str(tmp_path / "models"),
+                          skip_download=True)
+    with pytest.raises(FileNotFoundError):
+        missing.download_if_necessary()
+
+
+def test_find_model_files(tmp_path):
+    from physicedit_tpu.cli.validate import find_model_files
+
+    base = tmp_path / "Qwen" / "Qwen-Image"
+    (base / "vae").mkdir(parents=True)
+    (base / "vae" / "diffusion_pytorch_model.safetensors").write_bytes(b"x")
+    hits = find_model_files(str(tmp_path))
+    assert hits and hits[0].endswith("diffusion_pytorch_model.safetensors")
