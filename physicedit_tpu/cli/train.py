@@ -28,6 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_every_n_steps", type=int, default=500)
     p.add_argument("--eval_every_n_steps", type=int, default=None)
     p.add_argument("--dataset_repeat", type=int, default=1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--resume_from", type=str, default=None)
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -66,6 +67,7 @@ def main(argv=None):
         weight_decay=args.weight_decay, num_epochs=args.num_epochs,
         lora_rank=args.lora_rank, save_every_n_steps=args.save_every_n_steps,
         eval_every_n_steps=args.eval_every_n_steps,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
         height=args.height, width=args.width, seed=args.seed)
 
     trainer = Trainer(pipe, dataset, cfg, logger=TrainLogger(args.use_wandb))

@@ -21,8 +21,15 @@ from physicedit_tpu.models.dit import DiTConfig
 from physicedit_tpu.train.loss import physic_training_loss
 
 
-def make_optimizer(lr: float = 1e-5, weight_decay: float = 1e-2):
-    return optax.adamw(lr, weight_decay=weight_decay)
+def make_optimizer(lr: float = 1e-5, weight_decay: float = 1e-2,
+                   gradient_accumulation_steps: int = 1):
+    """AdamW + constant LR; micro-batch gradient accumulation via
+    optax.MultiSteps (the Accelerate `accumulate` equivalent,
+    train_physicedit.py:517,655)."""
+    opt = optax.adamw(lr, weight_decay=weight_decay)
+    if gradient_accumulation_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=gradient_accumulation_steps)
+    return opt
 
 
 @functools.partial(

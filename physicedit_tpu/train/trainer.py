@@ -47,6 +47,7 @@ class TrainConfig:
     lora_rank: int = 128
     save_every_n_steps: int = 500
     eval_every_n_steps: int | None = None
+    gradient_accumulation_steps: int = 1
     height: int = 480
     width: int = 832
     txt_len_bucket: int = 128   # prompt embeddings padded to multiples of this
@@ -84,15 +85,32 @@ class Trainer:
         self.dataset = dataset
         self.cfg = cfg
         self.logger = logger
-        self.optimizer = make_optimizer(cfg.learning_rate, cfg.weight_decay)
+        self.optimizer = make_optimizer(
+            cfg.learning_rate, cfg.weight_decay,
+            cfg.gradient_accumulation_steps)
         self.trainable = init_trainable(pipe, cfg)
         self.opt_state = self.optimizer.init(self.trainable)
+        self._report_trainable()
         self.rng = np.random.default_rng(cfg.seed)
         self.t_min, self.t_max = fm.adapter_t_range()
         self.train_sched = fm.qwen_training_schedule()
         self.global_step = 0
         self.start_epoch = 0
         self.skip_batches = 0
+
+    def _report_trainable(self):
+        """Trainable-parameter breakdown at start (train_physicedit.py:460-509)."""
+        import jax
+
+        def count(tree):
+            return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+        lora_n = count(self.trainable.get("lora"))
+        parts = {k: count(v) for k, v in self.trainable["adapters"].items()}
+        total = lora_n + sum(parts.values())
+        print(f"[TRAIN] trainable params: {total / 1e6:.1f}M "
+              f"(lora {lora_n / 1e6:.1f}M, "
+              + ", ".join(f"{k} {v / 1e6:.2f}M" for k, v in parts.items()) + ")")
 
     # ------------------------------------------------------------------
 

@@ -110,3 +110,27 @@ def test_eval_probe(trainer):
     strip = trainer.evaluate(0, num_inference_steps=2)
     assert strip is not None
     assert strip.size == (64 * 3, 64)
+
+
+def test_gradient_accumulation_delays_updates():
+    import jax
+    import jax.numpy as jnp
+
+    from physicedit_tpu.train.train_step import make_optimizer
+
+    opt = make_optimizer(lr=0.1, gradient_accumulation_steps=3)
+    params = {"w": jnp.ones((4,))}
+    state = opt.init(params)
+    g = {"w": jnp.ones((4,))}
+    p = params
+    snapshots = []
+    for _ in range(3):
+        updates, state = opt.update(g, state, p)
+        import optax
+
+        p = optax.apply_updates(p, updates)
+        snapshots.append(np.asarray(p["w"]).copy())
+    # first two micro-steps are no-ops; the third applies the averaged grad
+    np.testing.assert_array_equal(snapshots[0], np.ones(4))
+    np.testing.assert_array_equal(snapshots[1], np.ones(4))
+    assert (snapshots[2] < 1.0).all()
