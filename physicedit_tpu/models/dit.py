@@ -32,6 +32,17 @@ from physicedit_tpu.ops.attention import sdpa_bnsd
 from physicedit_tpu.ops.norms import approximate_gelu, layer_norm, rms_norm
 from physicedit_tpu.ops.rope import apply_rope
 
+# Sequence-parallel (ring) attention context.  attn_impl="ring" shards the
+# joint sequence over this mesh axis (parallel/ring_attention.py); set it
+# once before the first traced call (the mesh is baked into the compiled
+# program).
+_RING_CTX = {"mesh": None, "axis": "model"}
+
+
+def set_ring_context(mesh, axis: str = "model"):
+    _RING_CTX["mesh"] = mesh
+    _RING_CTX["axis"] = axis
+
 
 @dataclasses.dataclass(frozen=True)
 class DiTConfig:
@@ -196,6 +207,25 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
 
         out = flash_attention_bnsd(q, k, v, key_mask=joint_key_mask,
                                    bias=attn_bias)
+    elif attn_impl == "ring":
+        from physicedit_tpu.parallel.ring_attention import ring_attention
+
+        mesh = _RING_CTX["mesh"]
+        assert mesh is not None, "call models.dit.set_ring_context(mesh) first"
+        axis = _RING_CTX["axis"]
+        n_sh = mesh.shape[axis]
+        s_all = q.shape[2]
+        pad = (-s_all) % n_sh
+        mask_full = (joint_key_mask if joint_key_mask is not None
+                     else jnp.ones((b, s_all), bool))
+        if pad:
+            qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            mp = jnp.pad(mask_full, ((0, 0), (0, pad)))
+        else:
+            qp, kp, vp, mp = q, k, v, mask_full
+        out = ring_attention(qp, kp, vp, mp, mesh, axis=axis)[:, :, :s_all]
     else:
         bias4 = None if attn_bias is None else attn_bias[:, None]
         out = sdpa_bnsd(q, k, v, key_mask=joint_key_mask, bias=bias4)

@@ -46,3 +46,31 @@ def test_ring_attention_sharded_inputs():
     out = ra.ring_attention(q, k, v, mask, mesh, axis=sh.MODEL_AXIS)
     ref = sdpa_bnsd(q, k, v, key_mask=mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dit_forward_ring_matches_xla():
+    import jax.numpy as jnp
+
+    from physicedit_tpu.models import dit as jdit
+    from physicedit_tpu.ops import rope as jrope
+
+    mesh = sh.create_mesh(1, 8)
+    jdit.set_ring_context(mesh, sh.MODEL_AXIS)
+    cfg = jdit.DiTConfig(num_layers=2, dim=64, num_heads=2, head_dim=32,
+                         txt_in_dim=48, patch_dim=64, time_dim=32)
+    params = jdit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    s_i, s_t = 32, 8  # joint 40 -> padded to 40/8 per shard
+    img = jnp.asarray(rng.normal(size=(1, s_i, 64)).astype(np.float32))
+    txt = jnp.asarray(rng.normal(size=(1, s_t, 48)).astype(np.float32))
+    t = jnp.asarray([0.5])
+    ropes = list(map(jnp.asarray, jrope.build_rope_tables(
+        [(1, 4, 8)], s_t, axes_dim=(8, 12, 12))))
+    mask = jnp.ones((1, s_t), bool)
+
+    ref = jdit.dit_forward(params, cfg, img, txt, t, *ropes, txt_key_mask=mask)
+    out = jdit.dit_forward(params, cfg, img, txt, t, *ropes, txt_key_mask=mask,
+                           attn_impl="ring")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
