@@ -28,6 +28,8 @@ def _tiny_hf(seed=0):
                       "type": "default"},
         rope_theta=1e6, tie_word_embeddings=False, rms_norm_eps=1e-6,
         bos_token_id=1, eos_token_id=2,
+        image_token_id=99, video_token_id=100,
+        vision_start_token_id=98, vision_end_token_id=97,
         vision_config={"depth": 2, "hidden_size": 32, "num_heads": 2,
                        "intermediate_size": 64, "patch_size": 14,
                        "spatial_merge_size": 2, "temporal_patch_size": 2,
@@ -146,4 +148,50 @@ def test_greedy_decode_matches_hf_generate():
                                    jnp.full((1,), s, jnp.int32), max_new)
     ours = np.asarray(toks)[0]
     # HF stops at EOS; compare the overlapping prefix.
+    np.testing.assert_array_equal(ours[: len(ref_new)], ref_new)
+
+
+def test_multimodal_greedy_decode_matches_hf():
+    """The reason_physical path: image tokens in the prompt, then decode."""
+    import torch
+
+    model, jcfg, vcfg = _tiny_hf(7)
+    tparams = C.qwen_vl_text_from_torch(model.state_dict(), dtype=jnp.float32)
+    vparams = C.qwen_vl_vision_from_torch(model.state_dict(), dtype=jnp.float32)
+
+    from physicedit_tpu.pipeline import vl_host
+
+    img_id = model.config.image_token_id
+    vstart = model.config.vision_start_token_id
+    grids = [(1, 4, 6)]  # 24 patches -> 6 merged tokens
+    rng = np.random.default_rng(7)
+    patches = rng.normal(size=(24, 3 * 2 * 14 * 14)).astype(np.float32)
+
+    ids = [11, 12, vstart] + [img_id] * 6 + [13, 14, 15]
+    ids_np = np.asarray(ids, np.int32)
+    max_new = 6
+
+    with torch.no_grad():
+        gen = model.generate(
+            input_ids=torch.tensor([ids]),
+            attention_mask=torch.ones(1, len(ids)).long(),
+            pixel_values=torch.tensor(patches),
+            image_grid_thw=torch.tensor(grids),
+            max_new_tokens=max_new, do_sample=False)
+    ref_new = gen[0, len(ids):].numpy()
+
+    feats = np.asarray(jvis.run_vision(vparams, vcfg, jnp.asarray(patches), grids))
+    embeds = np.asarray(jvl.embed_tokens(tparams, jnp.asarray(ids_np)))
+    embeds = vl_host.scatter_vision_features(embeds, ids_np, feats, img_id)
+    pos = vl_host.get_rope_index(ids_np, grids, img_id, vstart)
+
+    s = len(ids)
+    logits, caches, _ = jvl.prefill(tparams, jcfg, jnp.asarray(embeds[None]),
+                                    jnp.asarray(pos[:, None, :]),
+                                    jnp.ones((1, s), bool), s + max_new)
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+    start_rope = int(pos.max()) + 1
+    toks, _ = jvl.greedy_decode(tparams, jcfg, caches, first, s,
+                                jnp.full((1,), start_rope, jnp.int32), max_new)
+    ours = np.asarray(toks)[0]
     np.testing.assert_array_equal(ours[: len(ref_new)], ref_new)
