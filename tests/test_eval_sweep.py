@@ -100,3 +100,18 @@ def test_find_model_files(tmp_path):
     (base / "vae" / "diffusion_pytorch_model.safetensors").write_bytes(b"x")
     hits = find_model_files(str(tmp_path))
     assert hits and hits[0].endswith("diffusion_pytorch_model.safetensors")
+
+
+@pytest.mark.parametrize("mod", [
+    "physicedit_tpu.cli.validate", "physicedit_tpu.cli.train",
+    "physicedit_tpu.cli.generate", "physicedit_tpu.cli.inference_pica",
+    "physicedit_tpu.cli.inference_kris",
+])
+def test_cli_help(mod, capsys):
+    import importlib
+
+    m = importlib.import_module(mod)
+    with pytest.raises(SystemExit) as e:
+        m.main(["--help"])
+    assert e.value.code == 0
+    assert "--" in capsys.readouterr().out
