@@ -134,3 +134,20 @@ def test_gradient_accumulation_delays_updates():
     np.testing.assert_array_equal(snapshots[0], np.ones(4))
     np.testing.assert_array_equal(snapshots[1], np.ones(4))
     assert (snapshots[2] < 1.0).all()
+
+
+def test_compute_visual_priors_standalone(trainer):
+    """The pipeline-level prior extractor (inference-style API) runs and
+    produces [1, 64, D] deltas for both branches."""
+    from physicedit_tpu.pipeline.visual_prior import compute_visual_priors
+
+    sample = trainer.dataset[0]
+    adapters = trainer.trainable["adapters"]
+    pd, pv = compute_visual_priors(
+        adapters, trainer.pipe.dinov2_params, trainer.pipe.dinov2_cfg,
+        trainer.pipe.vae_params, trainer.pipe.vae_cfg,
+        sample["middle_key_frames"], sample["edit_image"],
+        np.random.default_rng(0))
+    assert pd.shape == (1, 64, trainer.pipe.dit_cfg.txt_in_dim)
+    assert pv.shape == (1, 64, trainer.pipe.dit_cfg.txt_in_dim)
+    assert np.isfinite(np.asarray(pd)).all() and np.isfinite(np.asarray(pv)).all()
