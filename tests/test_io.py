@@ -78,3 +78,26 @@ def test_pica100k_dataset_from_memory(tmp_path):
     s = loader[1]
     assert s["prompt"] == "drop it"
     assert s["image"].size == (32, 32) and s["edit_image"].size == (32, 32)
+
+
+def test_safetensors_detect_convert_roundtrip(tmp_path):
+    """Disk -> detect -> convert: the ModelManager-equivalent load path."""
+    from safetensors.numpy import save_file
+
+    from physicedit_tpu.io.convert import dit_from_torch
+    from physicedit_tpu.io import safetensors_io as sio
+    from physicedit_tpu.models import dit as m_dit
+    from tests.test_lora import synth_torch_dit_sd
+
+    cfg = m_dit.DiTConfig(num_layers=2, dim=64, num_heads=2, head_dim=32,
+                          txt_in_dim=48, patch_dim=64, time_dim=32)
+    sd = synth_torch_dit_sd(cfg)
+    path = str(tmp_path / "dit.safetensors")
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, path)
+
+    loaded = sio.load_state_dict(path)
+    assert sio.detect_model_name(loaded) == "qwen_image_dit"
+    params = dit_from_torch(loaded, dtype=jnp.float32)
+    assert params["blocks"]["attn"]["img_qkv"]["w"].shape == (2, 64, 192)
+    np.testing.assert_allclose(
+        np.asarray(params["img_in"]["w"]), sd["img_in.weight"].T, rtol=1e-6)
