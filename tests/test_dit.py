@@ -143,3 +143,51 @@ def test_padding_invariance():
     mask = jnp.asarray(np.array([[1] * s_t + [0] * pad]), bool)
     out_pad = run(txt_padded, s_t + pad, mask)
     np.testing.assert_allclose(np.asarray(out_pad), np.asarray(out_ref), rtol=1e-5, atol=1e-5)
+
+
+@requires_reference
+def test_block_parity_bf16():
+    """bf16 accumulation check (SURVEY hard-part #2): one block at compute
+    dtype bf16 vs the reference torch block in bf16."""
+    import torch
+
+    ref_mod = load_ref_module("models.qwen_image_dit")
+    torch.manual_seed(3)
+    dim, heads, hd = 128, 2, 64
+    ref_block = ref_mod.QwenImageTransformerBlock(
+        dim=dim, num_attention_heads=heads, attention_head_dim=hd).eval().to(torch.bfloat16)
+
+    cfg = jdit.DiTConfig(num_layers=1, dim=dim, num_heads=heads, head_dim=hd)
+    sd = {f"transformer_blocks.0.{k}": v for k, v in ref_block.state_dict().items()}
+    blocks = dit_from_torch_blocks_only(sd, 1, jnp.bfloat16)
+    blk = jax.tree_util.tree_map(lambda x: x[0], blocks)
+
+    rng = np.random.default_rng(3)
+    b, s_i, s_t = 1, 16, 5
+    image = rng.normal(size=(b, s_i, dim)).astype(np.float32)
+    text = rng.normal(size=(b, s_t, dim)).astype(np.float32)
+    temb = rng.normal(size=(b, dim)).astype(np.float32)
+    img_shapes = [(1, 4, 4)]
+    img_cos, img_sin, txt_cos, txt_sin = jrope.build_rope_tables(
+        img_shapes, s_t, axes_dim=(8, 28, 28))
+
+    import torch as T
+
+    with T.no_grad():
+        ref_rope = ref_mod.QwenEmbedRope(theta=10000, axes_dim=[8, 28, 28],
+                                         scale_rope=True)
+        vid, txtf = ref_rope(img_shapes, [s_t], device=T.device("cpu"))
+        ref_text, ref_image = ref_block(
+            image=T.tensor(image).to(T.bfloat16), text=T.tensor(text).to(T.bfloat16),
+            temb=T.tensor(temb).to(T.bfloat16), image_rotary_emb=(vid, txtf))
+
+    out_text, out_image = jdit.block_forward(
+        blk, cfg, jnp.asarray(image, jnp.bfloat16), jnp.asarray(text, jnp.bfloat16),
+        jax.nn.silu(jnp.asarray(temb, jnp.bfloat16)),
+        img_cos, img_sin, txt_cos, txt_sin, joint_key_mask=None)
+    # bf16: elementwise rounding differs slightly between stacks; the bar is
+    # close agreement, not bitwise (LPIPS-level parity, SURVEY 7.4).
+    ref_np = ref_image.float().numpy()
+    err = np.abs(np.asarray(out_image, np.float32) - ref_np)
+    scale = np.abs(ref_np).mean() + 1e-6
+    assert err.mean() / scale < 0.02, err.mean() / scale

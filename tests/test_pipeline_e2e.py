@@ -249,3 +249,12 @@ def test_inpaint_preserves_unmasked_region(tiny_pipe):
     kept_delta = np.abs(out_a[32:, 32:] - base_a[32:, 32:]).mean()
     assert np.isfinite(out_a).all()
     assert kept_delta < masked_delta * 1.5 + 40  # loose sanity on random weights
+
+
+def test_edit_rope_interpolation_path(tiny_pipe):
+    rng = np.random.default_rng(8)
+    edit = Image.fromarray(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8))
+    out = tiny_pipe("shift it", edit_image=edit, height=64, width=64, seed=4,
+                    num_inference_steps=2, have_text_reasoning=False,
+                    edit_image_auto_resize=False, edit_rope_interpolation=True)
+    assert out.size == (64, 64)
