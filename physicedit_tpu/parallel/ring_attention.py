@@ -83,3 +83,45 @@ def ring_attention(q, k, v, key_mask, mesh: Mesh, axis: str = "model"):
         out_specs=spec_qkv,
     )
     return fn(q, k, v, key_mask)
+
+
+def ulysses_attention(q, k, v, key_mask, mesh: Mesh, axis: str = "model"):
+    """Ulysses-style sequence parallelism: head-scatter all-to-all.
+
+    The other half of the reference's xfuser USP hybrid
+    (xdit_context_parallel.py:121 — `xFuserLongContextAttention` combines
+    Ulysses all-to-all with a ring): sequence-sharded q/k/v are
+    all-to-all'd so each device holds ALL tokens for a SUBSET of heads,
+    attends densely, and scatters back.  One collective round-trip instead
+    of n ring hops — preferable when heads >= devices and the full-sequence
+    score tile fits on chip.
+
+    q/k/v: [B, N, S, D] sharded on S over `axis`; N and S divisible by the
+    axis size.  Returns [B, N, S, D] with the same sharding.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from physicedit_tpu.ops.attention import sdpa_bnsd
+
+    def body(q_, k_, v_, m_):
+        # local shapes: q_ [B, N, S/n, D]; m_ [B, S/n]
+        def scatter_heads(t):
+            # -> [B, N/n, S, D]
+            return jax.lax.all_to_all(t, axis, split_axis=1, concat_axis=2,
+                                      tiled=True)
+
+        qh, kh, vh = scatter_heads(q_), scatter_heads(k_), scatter_heads(v_)
+        m_full = jax.lax.all_gather(m_, axis, axis=1, tiled=True)  # [B, S]
+        out = sdpa_bnsd(qh, kh, vh, key_mask=m_full)
+        # gather heads back, re-shard the sequence: [B, N, S/n, D]
+        return jax.lax.all_to_all(out, axis, split_axis=2, concat_axis=1,
+                                  tiled=True)
+
+    spec_qkv = P(None, None, axis, None)
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(spec_qkv, spec_qkv, spec_qkv, P(None, axis)),
+                   out_specs=spec_qkv)
+    return fn(q, k, v, key_mask)

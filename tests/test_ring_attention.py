@@ -74,3 +74,21 @@ def test_dit_forward_ring_matches_xla():
                            attn_impl="ring")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ulysses_attention_matches_full():
+    rng = np.random.default_rng(2)
+    b, n, s, d = 1, 8, 8 * 16, 32  # heads == devices
+    q = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    mask = np.ones((b, s), bool)
+    mask[0, 100:] = False
+    mesh = sh.create_mesh(1, 8)
+    out = ra.ulysses_attention(q, k, v, jnp.asarray(mask), mesh,
+                               axis=sh.MODEL_AXIS)
+    ref = sdpa_bnsd(q, k, v, key_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out)[:, :, mask[0]],
+                               np.asarray(ref)[:, :, mask[0]],
+                               rtol=2e-4, atol=2e-4)
