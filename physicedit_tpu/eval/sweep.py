@@ -38,7 +38,11 @@ def run_pica_sweep(pipe, output_dir: str, prompt_type: str = "intermediate",
                    seed: int = 42, num_inference_steps: int = 40,
                    local_dataset_path: str | None = None,
                    native_resolution: bool = True,
-                   skip_existing: bool = True):
+                   skip_existing: bool = True,
+                   prompt_rewriter=None):
+    """prompt_rewriter: optional callable prompt -> prompt, the injectable
+    replacement for the reference's GPT-4o-mini rewriter
+    (inference_pica.py:29-122; external API kept out of the framework)."""
     ds = _load_hf_dataset("Andrew613/PICABench", local_path=local_dataset_path)
     os.makedirs(output_dir, exist_ok=True)
     end_idx = len(ds) if end_idx is None else min(end_idx, len(ds))
@@ -59,6 +63,8 @@ def run_pica_sweep(pipe, output_dir: str, prompt_type: str = "intermediate",
             if (w, h) != image.size:
                 image = image.resize((w, h))
         prompt = rec[col]
+        if prompt_rewriter is not None:
+            prompt = prompt_rewriter(prompt)
         out = pipe(prompt, edit_image=image, seed=seed,
                    num_inference_steps=num_inference_steps,
                    height=image.size[1], width=image.size[0],

@@ -115,3 +115,13 @@ def test_cli_help(mod, capsys):
         m.main(["--help"])
     assert e.value.code == 0
     assert "--" in capsys.readouterr().out
+
+
+def test_pica_prompt_rewriter(tmp_path):
+    from physicedit_tpu.eval.sweep import run_pica_sweep
+
+    ds_path = _fake_pica(tmp_path)
+    pipe = MockPipe()
+    run_pica_sweep(pipe, str(tmp_path / "out3"), local_dataset_path=ds_path,
+                   end_idx=1, prompt_rewriter=lambda p: p.upper())
+    assert pipe.calls[0]["prompt"] == "INT 0"
