@@ -48,6 +48,7 @@ class TrainConfig:
     save_every_n_steps: int = 500
     eval_every_n_steps: int | None = None
     gradient_accumulation_steps: int = 1
+    batch_size: int = 1          # global batch (sharded over the data axis)
     height: int = 480
     width: int = 832
     txt_len_bucket: int = 128   # prompt embeddings padded to multiples of this
@@ -80,11 +81,16 @@ def init_trainable(pipe, cfg: TrainConfig):
 
 
 class Trainer:
-    def __init__(self, pipe, dataset, cfg: TrainConfig, logger=None):
+    def __init__(self, pipe, dataset, cfg: TrainConfig, logger=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh for multi-chip training — the
+        frozen DiT is tensor-parallel over `model`, the batch is sharded
+        over `data`, and GSPMD inserts the gradient all-reduce (the DDP
+        equivalent; parallel/sharding.py)."""
         self.pipe = pipe
         self.dataset = dataset
         self.cfg = cfg
         self.logger = logger
+        self.mesh = mesh
         self.optimizer = make_optimizer(
             cfg.learning_rate, cfg.weight_decay,
             cfg.gradient_accumulation_steps)
@@ -97,6 +103,18 @@ class Trainer:
         self.global_step = 0
         self.start_epoch = 0
         self.skip_batches = 0
+        self.frozen = {"dit": pipe.dit_params}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from physicedit_tpu.parallel import sharding as shd
+
+            self.frozen = {"dit": shd.shard_params(
+                pipe.dit_params, shd.dit_param_specs(pipe.dit_params), mesh)}
+            rep = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())), t)
+            self.trainable = rep(self.trainable)
+            self.opt_state = rep(self.opt_state)
 
     def _report_trainable(self):
         """Trainable-parameter breakdown at start (train_physicedit.py:460-509)."""
@@ -232,9 +250,54 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def collate(self, batches: list) -> dict:
+        """Stack B=1 preprocessed batches into one global batch, padding the
+        text axis to the longest bucket; shared rope tables come from the
+        longest sample."""
+        if len(batches) == 1:
+            return batches[0]
+        s_t = max(int(b["prompt_emb"].shape[1]) for b in batches)
+        widest = max(batches, key=lambda b: int(b["prompt_emb"].shape[1]))
+        out = {}
+        for k in batches[0]:
+            if k in ("img_cos", "img_sin"):
+                out[k] = widest[k]
+            elif k in ("txt_cos", "txt_sin"):
+                out[k] = widest[k]
+            elif k in ("prompt_emb", "txt_mask"):
+                parts = []
+                for b in batches:
+                    arr = np.asarray(b[k])
+                    pad = s_t - arr.shape[1]
+                    if pad:
+                        widths = [(0, 0), (0, pad)] + [(0, 0)] * (arr.ndim - 2)
+                        arr = np.pad(arr, widths)
+                    parts.append(arr)
+                out[k] = jnp.asarray(np.concatenate(parts, 0))
+            else:
+                out[k] = jnp.asarray(
+                    np.concatenate([np.asarray(b[k]) for b in batches], 0))
+        return out
+
+    def _place_batch(self, batch: dict) -> dict:
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from physicedit_tpu.parallel import sharding as shd
+
+        b = int(batch["input_latents"].shape[0])
+        placed = {}
+        for k, v in batch.items():
+            data_sharded = hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == b                 and k not in ("img_cos", "img_sin", "txt_cos", "txt_sin")
+            spec = P(shd.DATA_AXIS) if data_sharded else P()
+            placed[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
+        return placed
+
     def train(self):
         cfg = self.cfg
-        frozen = {"dit": self.pipe.dit_params}
+        frozen = self.frozen
+        pending = []
         for epoch in range(self.start_epoch, cfg.num_epochs):
             for i in range(len(self.dataset)):
                 if epoch == self.start_epoch and i < self.skip_batches:
@@ -242,9 +305,14 @@ class Trainer:
                 sample = self.dataset[i]
                 if sample is None:
                     continue
-                batch = self.preprocess(sample)
-                if batch is None:
+                micro = self.preprocess(sample)
+                if micro is None:
                     continue
+                pending.append(micro)
+                if len(pending) < cfg.batch_size:
+                    continue
+                batch = self._place_batch(self.collate(pending))
+                pending = []
                 t0 = time.perf_counter()
                 self.trainable, self.opt_state, metrics = train_step(
                     self.trainable, frozen, self.opt_state, batch,

@@ -151,3 +151,41 @@ def test_compute_visual_priors_standalone(trainer):
     assert pd.shape == (1, 64, trainer.pipe.dit_cfg.txt_in_dim)
     assert pv.shape == (1, 64, trainer.pipe.dit_cfg.txt_in_dim)
     assert np.isfinite(np.asarray(pd)).all() and np.isfinite(np.asarray(pv)).all()
+
+
+def test_collate_pads_text_axis(trainer):
+    b1 = trainer.preprocess(trainer.dataset[0])
+    b2 = trainer.preprocess(trainer.dataset[1])
+    assert b1 is not None and b2 is not None
+    batch = trainer.collate([b1, b2])
+    assert batch["input_latents"].shape[0] == 2
+    assert batch["prompt_emb"].shape[0] == 2
+    assert batch["txt_mask"].shape == batch["prompt_emb"].shape[:2]
+    assert batch["txt_cos"].shape[0] == batch["prompt_emb"].shape[1]
+
+
+def test_data_parallel_training_step(trainer):
+    """One train step on a (2, 4) mesh with a collated global batch of 2."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from physicedit_tpu.parallel import sharding as shd
+    from physicedit_tpu.train.trainer import TrainConfig, Trainer
+
+    mesh = shd.create_mesh(2, 4)
+    cfg = TrainConfig(output_path=trainer.cfg.output_path, lora_rank=2,
+                      height=64, width=64, txt_len_bucket=64, batch_size=2,
+                      use_remat=False)
+    t2 = Trainer(trainer.pipe, trainer.dataset, cfg, mesh=mesh)
+    b1 = t2.preprocess(t2.dataset[0])
+    b2 = t2.preprocess(t2.dataset[1])
+    batch = t2._place_batch(t2.collate([b1, b2]))
+    from physicedit_tpu.train.train_step import train_step
+
+    t2.trainable, t2.opt_state, metrics = train_step(
+        t2.trainable, t2.frozen, t2.opt_state, batch, t2.pipe.dit_cfg,
+        t2.optimizer, t2.t_min, t2.t_max, use_remat=False)
+    assert np.isfinite(float(metrics["loss"]))
