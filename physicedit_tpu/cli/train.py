@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_every_n_steps", type=int, default=None)
     p.add_argument("--dataset_repeat", type=int, default=1)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="global batch, sharded over the data mesh axis")
+    p.add_argument("--data_parallel", type=int, default=1)
+    p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--resume_from", type=str, default=None)
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -68,9 +72,17 @@ def main(argv=None):
         lora_rank=args.lora_rank, save_every_n_steps=args.save_every_n_steps,
         eval_every_n_steps=args.eval_every_n_steps,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
+        batch_size=args.batch_size,
         height=args.height, width=args.width, seed=args.seed)
 
-    trainer = Trainer(pipe, dataset, cfg, logger=TrainLogger(args.use_wandb))
+    mesh = None
+    if args.data_parallel * args.model_parallel > 1:
+        from physicedit_tpu.parallel.sharding import create_mesh
+
+        mesh = create_mesh(args.data_parallel, args.model_parallel)
+
+    trainer = Trainer(pipe, dataset, cfg, logger=TrainLogger(args.use_wandb),
+                      mesh=mesh)
     if args.resume_from:
         trainer.resume(args.resume_from)
     trainer.train()

@@ -189,3 +189,26 @@ def test_data_parallel_training_step(trainer):
         t2.trainable, t2.frozen, t2.opt_state, batch, t2.pipe.dit_cfg,
         t2.optimizer, t2.t_min, t2.t_max, use_remat=False)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_direct_distill_loss(trainer):
+    import jax.numpy as jnp
+
+    from physicedit_tpu.ops import rope as m_rope
+    from physicedit_tpu.sampling import flow_match as fm
+    from physicedit_tpu.train.loss import direct_distill_loss
+
+    pipe = trainer.pipe
+    rng = np.random.default_rng(0)
+    h = w = 8
+    s_t = 6
+    latents0 = jnp.asarray(rng.normal(size=(1, h, w, 16)).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=(1, h, w, 16)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(1, s_t, 64)).astype(np.float32))
+    ropes = list(map(jnp.asarray, m_rope.build_rope_tables(
+        [(1, h // 2, w // 2)], s_t, axes_dim=pipe.rope_axes)))
+    sched = fm.build_schedule(2, fm.QWEN_IMAGE_CONFIG, dynamic_shift_len=16)
+    loss = direct_distill_loss(pipe.dit_params, pipe.dit_cfg, latents0, None,
+                               emb, jnp.ones((1, s_t), bool), ropes, sched,
+                               target)
+    assert np.isfinite(float(loss))
