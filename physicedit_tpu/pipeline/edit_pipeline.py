@@ -173,6 +173,8 @@ class PhysicEditPipeline:
                 setattr(self, name, replicate(v))
         if self.adapters:
             self.adapters = replicate(self.adapters)
+        if self.dit_lora is not None:
+            self.dit_lora = replicate(self.dit_lora)
         self.mesh = mesh
         return self
 
@@ -342,7 +344,7 @@ class PhysicEditPipeline:
                  inpaint_mask=None, inpaint_blur_size: int | None = None,
                  inpaint_blur_sigma: float | None = None,
                  height: int = 1328, width: int = 1328, seed: int | None = None,
-                 num_inference_steps: int = 40,
+                 num_inference_steps: int = 30,  # reference default (:565)
                  exponential_shift_mu: float | None = None,
                  denoising_strength: float = 1.0,
                  edit_image_auto_resize: bool = True,
