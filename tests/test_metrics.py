@@ -29,3 +29,20 @@ def test_parity_report_keys():
     a = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
     rep = M.parity_report(a, a)
     assert rep["ssim"] > 0.999 and rep["psnr"] == float("inf")
+
+
+def test_profile_trace_writes(tmp_path):
+    import jax.numpy as jnp
+
+    from physicedit_tpu.train.logging_utils import StepTimer, profile_trace
+
+    with profile_trace(str(tmp_path / "trace")):
+        jnp.ones((8, 8)).sum().block_until_ready()
+    import os
+
+    assert os.path.isdir(tmp_path / "trace")
+
+    t = StepTimer()
+    with t.stage("x"):
+        pass
+    assert "x" in t.summary()

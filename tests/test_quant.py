@@ -50,3 +50,21 @@ def test_quantized_dit_forward_close_to_fp32():
     # int8 over 2 blocks: relative error stays small
     denom = np.abs(ref).mean()
     assert np.abs(out - ref).mean() / denom < 0.1
+
+
+def test_quantized_pipeline_edit():
+    """Full tiny edit with an int8-quantized DiT (the quantize="int8" path)."""
+    from PIL import Image
+
+    from physicedit_tpu.ops.quant import quantize_tree
+    from tests.test_pipeline_e2e import build_tiny_pipeline
+
+    pipe = build_tiny_pipeline()
+    pipe.dit_params = quantize_tree(pipe.dit_params, min_size=1024)
+    rng = np.random.default_rng(0)
+    edit = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    out = pipe("nudge the box", edit_image=edit, height=64, width=64, seed=1,
+               num_inference_steps=2, have_text_reasoning=False,
+               edit_image_auto_resize=False)
+    assert out.size == (64, 64)
+    assert np.isfinite(np.asarray(out)).all()
