@@ -72,6 +72,8 @@ class PhysicEditPipeline:
     t2i_drop_idx: int = P.T2I_DROP_IDX
     rope_axes: tuple = m_rope.AXES_DIM
     dit_lora: dict | None = None   # live LoRA factors (train-time eval)
+    txt_len_bucket: int = 64       # pad text length to multiples (bounds the
+                                   # denoise compile-cache across prompts)
 
     def __post_init__(self):
         self.t_min, self.t_max = fm.adapter_t_range()
@@ -471,6 +473,11 @@ class PhysicEditPipeline:
         embs = [emb_p, emb_n] if use_cfg else [emb_p]
         specials = [special_p, special_n] if use_cfg else [special_p]
         s_t = max(e.shape[0] for e in embs)
+        # Bucket the padded text length so varying prompt lengths reuse the
+        # same compiled denoise program (key-side masking keeps the padded
+        # form mathematically identical to the unpadded one).
+        bkt = self.txt_len_bucket
+        s_t = ((s_t + bkt - 1) // bkt) * bkt
         b = len(embs)
         prompt_emb = np.zeros((b, s_t, embs[0].shape[1]), np.float32)
         txt_mask = np.zeros((b, s_t), bool)

@@ -258,3 +258,30 @@ def test_edit_rope_interpolation_path(tiny_pipe):
                     num_inference_steps=2, have_text_reasoning=False,
                     edit_image_auto_resize=False, edit_rope_interpolation=True)
     assert out.size == (64, 64)
+
+
+def test_txt_bucketing_bounds_compiles(tiny_pipe):
+    """Different prompt lengths in the same bucket produce the same padded
+    text length (so the denoise program is reused)."""
+    captured = []
+    from physicedit_tpu.pipeline import edit_pipeline as EP
+
+    orig = EP.denoise
+
+    def spy(*args, **kw):
+        captured.append(args[4].shape)  # prompt_emb
+        return orig(*args, **kw)
+
+    EP.denoise = spy
+    try:
+        rng = np.random.default_rng(9)
+        edit = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+        kw = dict(edit_image=edit, height=64, width=64, seed=1,
+                  num_inference_steps=1, have_text_reasoning=False,
+                  edit_image_auto_resize=False)
+        tiny_pipe("move the red box", **kw)
+        tiny_pipe("tilt the big cup", **kw)  # same token count -> same bucket
+    finally:
+        EP.denoise = orig
+    assert captured[0] == captured[1]
+    assert captured[0][1] % tiny_pipe.txt_len_bucket == 0
