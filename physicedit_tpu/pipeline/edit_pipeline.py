@@ -180,6 +180,37 @@ class PhysicEditPipeline:
         self.mesh = mesh
         return self
 
+    def load_lora(self, lora_path: str, alpha: float = 1.0,
+                  hotload: bool = False):
+        """Load a DiT LoRA (reference load_lora semantics,
+        qwen_image_physical.py:250-276).
+
+        hotload=False merges `W += alpha * B @ A` into the DiT weights via a
+        convert round-trip; hotload=True keeps the factors live
+        (AutoWrappedLinear-equivalent: applied per forward, clearable).
+        """
+        sd = {k: np.asarray(v, np.float32)
+              for k, v in load_state_dict(lora_path).items()}
+        sd = {k.replace("pipe.dit.", ""): v for k, v in sd.items()}
+        if hotload:
+            lora = jlora.import_dit_lora(sd, self.dit_cfg)
+            if alpha != 1.0:
+                lora = jax.tree_util.tree_map(lambda x: x, lora)
+                for leaf in lora.values():
+                    leaf["A"] = leaf["A"] * alpha
+            self.dit_lora = lora
+            return
+        # Offline merge path: factors -> deltas applied onto the converted
+        # pytree directly (equivalent to GeneralLoRALoader.load).
+        pairs = jlora.collect_lora_pairs(sd)
+        merged = jlora.import_dit_lora(sd, self.dit_cfg)
+        assert pairs, "no LoRA pairs found in checkpoint"
+        self.dit_params = _merge_lora_pytree(self.dit_params, merged, alpha)
+
+    def clear_lora(self):
+        """Drop hot-loaded LoRA factors (reference clear_lora, :279-285)."""
+        self.dit_lora = None
+
     def load_tokenizer(self, path: str):
         from transformers import Qwen2Tokenizer
 
@@ -223,6 +254,9 @@ class PhysicEditPipeline:
 
     def encode_image(self, image) -> jax.Array:
         """PIL -> VAE latents [1, H/8, W/8, 16]."""
+        w, h = image.size
+        assert h % 8 == 0 and w % 8 == 0, (
+            f"image size {w}x{h} must be /8 (use the auto-resize paths)")
         arr = np.asarray(image.convert("RGB"), np.float32) / 127.5 - 1.0
         x = jnp.asarray(arr[None], self.dtype)
         return m_vae.encode_jit(self.vae_params, x, self.vae_cfg)
@@ -536,6 +570,46 @@ class PhysicEditPipeline:
             inpaint_mask=inpaint_mask_lat, input_latents=input_latents)
 
         return self.decode_image(latents)
+
+
+def _merge_lora_pytree(dit_params: dict, lora: dict, alpha: float) -> dict:
+    """Fold (A, B) factors into the framework-layout DiT weights."""
+    import jax.numpy as jnp
+
+    blocks = dict(dit_params["blocks"])
+    attn = dict(blocks["attn"])
+
+    def fold(w, A, B):
+        # w [L, in, out]; A [L, in, r]; B [L, r, out]
+        delta = jnp.einsum("lir,lro->lio", A.astype(jnp.float32),
+                           B.astype(jnp.float32)) * alpha
+        return (w.astype(jnp.float32) + delta).astype(w.dtype)
+
+    def fold_fused(w, A, B):
+        # w [L, in, 3*out]; A [L, 3, in, r]; B [L, 3, r, out]
+        delta = jnp.einsum("lpir,lpro->lpio", A.astype(jnp.float32),
+                           B.astype(jnp.float32)) * alpha
+        L, p, i, o = delta.shape
+        delta = delta.transpose(0, 2, 1, 3).reshape(L, i, p * o)
+        return (w.astype(jnp.float32) + delta).astype(w.dtype)
+
+    for name in ("img_qkv", "txt_qkv"):
+        attn[name] = dict(attn[name],
+                          w=fold_fused(attn[name]["w"], lora[name]["A"],
+                                       lora[name]["B"]))
+    for name in ("to_out", "to_add_out"):
+        attn[name] = dict(attn[name],
+                          w=fold(attn[name]["w"], lora[name]["A"], lora[name]["B"]))
+    blocks["attn"] = attn
+    for mod, leaf in (("img_mod", "img_mod"), ("txt_mod", "txt_mod")):
+        blocks[mod] = dict(blocks[mod],
+                           w=fold(blocks[mod]["w"], lora[leaf]["A"], lora[leaf]["B"]))
+    for mlp, leaf in (("img_mlp", "img_mlp_fc2"), ("txt_mlp", "txt_mlp_fc2")):
+        m = dict(blocks[mlp])
+        m["fc2"] = dict(m["fc2"],
+                        w=fold(m["fc2"]["w"], lora[leaf]["A"], lora[leaf]["B"]))
+        blocks[mlp] = m
+    return dict(dit_params, blocks=blocks)
 
 
 def _gaussian_blur(arr: np.ndarray, blur_size: int, sigma: float) -> np.ndarray:

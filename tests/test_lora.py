@@ -101,3 +101,31 @@ def test_lora_import_export_roundtrip():
                                    np.asarray(lora[name]["A"]), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(back[name]["B"]),
                                    np.asarray(lora[name]["B"]), rtol=1e-6)
+
+
+def test_pipeline_load_lora_offline_equals_hotload(tmp_path):
+    """pipeline.load_lora: pytree-level fold == live factors."""
+    from safetensors.numpy import save_file
+
+    from physicedit_tpu.ops import rope as jrope
+    from physicedit_tpu.pipeline.edit_pipeline import _merge_lora_pytree
+
+    cfg = jdit.DiTConfig(num_layers=2, dim=64, num_heads=2, head_dim=32,
+                         txt_in_dim=48, patch_dim=64, time_dim=32)
+    sd = synth_torch_dit_sd(cfg)
+    params = dit_from_torch(sd, dtype=jnp.float32)
+    lora = _random_lora(cfg, rank=3, seed=5)
+
+    merged = _merge_lora_pytree(params, lora, alpha=1.0)
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.normal(size=(1, 16, 64)).astype(np.float32))
+    txt = jnp.asarray(rng.normal(size=(1, 5, 48)).astype(np.float32))
+    t = jnp.asarray([0.5])
+    ropes = jrope.build_rope_tables([(1, 4, 4)], 5, axes_dim=(8, 12, 12))
+    out_factors = jdit.dit_forward(params, cfg, img, txt, t,
+                                   *map(jnp.asarray, ropes), lora=lora)
+    out_merged = jdit.dit_forward(merged, cfg, img, txt, t,
+                                  *map(jnp.asarray, ropes))
+    np.testing.assert_allclose(np.asarray(out_factors), np.asarray(out_merged),
+                               rtol=2e-4, atol=2e-4)
