@@ -201,11 +201,10 @@ class PhysicEditPipeline:
             self.dit_lora = lora
             return
         # Offline merge path: factors -> deltas applied onto the converted
-        # pytree directly (equivalent to GeneralLoRALoader.load).
-        pairs = jlora.collect_lora_pairs(sd)
-        merged = jlora.import_dit_lora(sd, self.dit_cfg)
-        assert pairs, "no LoRA pairs found in checkpoint"
-        self.dit_params = _merge_lora_pytree(self.dit_params, merged, alpha)
+        # pytree directly (equivalent to GeneralLoRALoader.load,
+        # diffsynth/lora/__init__.py:33-45).
+        factors = jlora.import_dit_lora(sd, self.dit_cfg)
+        self.dit_params = _merge_lora_pytree(self.dit_params, factors, alpha)
 
     def clear_lora(self):
         """Drop hot-loaded LoRA factors (reference clear_lora, :279-285)."""
