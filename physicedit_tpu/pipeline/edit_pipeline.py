@@ -72,6 +72,7 @@ class PhysicEditPipeline:
     t2i_drop_idx: int = P.T2I_DROP_IDX
     rope_axes: tuple = m_rope.AXES_DIM
     dit_lora: dict | None = None   # live LoRA factors (train-time eval)
+    controlnet_params: dict | None = None  # blockwise ControlNet (models/controlnet)
     txt_len_bucket: int = 64       # pad text length to multiples (bounds the
                                    # denoise compile-cache across prompts)
 
@@ -389,7 +390,11 @@ class PhysicEditPipeline:
                  context_image=None,
                  eligen_entity_prompts: list | None = None,
                  eligen_entity_masks: list | None = None,
-                 eligen_enable_on_negative: bool = False):
+                 eligen_enable_on_negative: bool = False,
+                 blockwise_controlnet_image=None,
+                 blockwise_controlnet_scale: float = 1.0,
+                 blockwise_controlnet_start: float = 1.0,
+                 blockwise_controlnet_end: float = 0.0):
         height, width = (height + 15) // 16 * 16, (width + 15) // 16 * 16
         lat_h, lat_w = height // 8, width // 8
 
@@ -539,6 +544,24 @@ class PhysicEditPipeline:
                 attn_bias[1] = place(bias_n, emb_n.shape[0])
             attn_bias = jnp.asarray(attn_bias)
 
+        # Blockwise ControlNet conditioning (QwenImageUnit_BlockwiseControlNet
+        # + blockwise_forward gating, qwen_image_physical.py:1202-1241,
+        # 1389-1396).
+        ctl_blocks = ctl_cond = ctl_scales = None
+        if blockwise_controlnet_image is not None and self.controlnet_params is not None:
+            from physicedit_tpu.models import controlnet as m_cn
+
+            cimg = blockwise_controlnet_image.resize((width, height))
+            cond_lat = self.encode_image(cimg)
+            cond_tokens = patchify(cond_lat)
+            ctl_cond = m_cn.process_conditioning(
+                self.controlnet_params, cond_tokens.astype(self.dtype))
+            ctl_cond = jnp.broadcast_to(ctl_cond, (b,) + ctl_cond.shape[1:])
+            ctl_blocks = self.controlnet_params["blocks"]
+            ctl_scales = jnp.asarray(m_cn.controlnet_step_scales(
+                num_inference_steps, blockwise_controlnet_start,
+                blockwise_controlnet_end, blockwise_controlnet_scale))
+
         adapter_params = self.adapters.get("visual_thinking_adapter")
         special_idx = None
         if adapter_params is not None and all(s is not None for s in specials):
@@ -566,7 +589,9 @@ class PhysicEditPipeline:
             adapter_params=adapter_params, special_idx=special_idx,
             t_min=self.t_min, t_max=self.t_max, attn_impl=self.attn_impl,
             lora=self.dit_lora, attn_bias=attn_bias,
-            inpaint_mask=inpaint_mask_lat, input_latents=input_latents)
+            inpaint_mask=inpaint_mask_lat, input_latents=input_latents,
+            control_blocks=ctl_blocks, control_cond=ctl_cond,
+            control_scales=ctl_scales)
 
         return self.decode_image(latents)
 

@@ -76,3 +76,24 @@ def test_denoise_with_controlnet_runs():
                    jnp.asarray(sched.timesteps), jnp.asarray(1.0),
                    latent_hw=(h, w))
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-6)
+
+
+def test_pipeline_with_blockwise_controlnet():
+    from PIL import Image
+
+    from tests.test_pipeline_e2e import build_tiny_pipeline
+
+    pipe = build_tiny_pipeline()
+    pipe.controlnet_params = jcn.init_controlnet_params(
+        jax.random.PRNGKey(9), num_layers=pipe.dit_cfg.num_layers,
+        dim=pipe.dit_cfg.dim, dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    edit = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    ctl = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    kw = dict(edit_image=edit, height=64, width=64, seed=2,
+              num_inference_steps=2, have_text_reasoning=False,
+              edit_image_auto_resize=False)
+    out_ctl = np.asarray(pipe("guide it", blockwise_controlnet_image=ctl, **kw))
+    # zero-init output projections -> identical to the uncontrolled edit
+    out_base = np.asarray(pipe("guide it", **kw))
+    np.testing.assert_array_equal(out_ctl, out_base)
