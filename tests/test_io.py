@@ -101,3 +101,14 @@ def test_safetensors_detect_convert_roundtrip(tmp_path):
     assert params["blocks"]["attn"]["img_qkv"]["w"].shape == (2, 64, 192)
     np.testing.assert_allclose(
         np.asarray(params["img_in"]["w"]), sd["img_in.weight"].T, rtol=1e-6)
+
+
+def test_lazy_package_exports():
+    import physicedit_tpu as pkg
+
+    assert pkg.PhysicEditPipeline.__name__ == "PhysicEditPipeline"
+    assert pkg.TrainConfig().lora_rank == 128
+    import pytest as _pytest
+
+    with _pytest.raises(AttributeError):
+        pkg.not_a_thing

@@ -63,3 +63,22 @@ def test_roundtrip_shapes():
     assert z.shape == (1, 8, 12, 16)
     out = jvae.decode(params, z, SMALL)
     assert out.shape == (1, 64, 96, 3)
+
+
+@requires_reference
+def test_vae_init_structure_matches_converter():
+    """init_vae_params must stay tree-compatible with converted checkpoints
+    (else shape tests and benches drift from the real model)."""
+    import jax
+
+    from physicedit_tpu.models.vae_init import init_vae_params
+
+    ref = _make_ref_vae()
+    converted = vae_from_torch(ref.state_dict(), dtype=jnp.float32)
+    initialised = init_vae_params(SMALL, jnp.float32)
+    ts_a = jax.tree_util.tree_structure(converted)
+    ts_b = jax.tree_util.tree_structure(initialised)
+    assert ts_a == ts_b
+    shapes_a = jax.tree_util.tree_map(lambda x: x.shape, converted)
+    shapes_b = jax.tree_util.tree_map(lambda x: x.shape, initialised)
+    assert shapes_a == shapes_b
