@@ -191,3 +191,27 @@ def test_block_parity_bf16():
     err = np.abs(np.asarray(out_image, np.float32) - ref_np)
     scale = np.abs(ref_np).mean() + 1e-6
     assert err.mean() / scale < 0.02, err.mean() / scale
+
+
+@requires_reference
+def test_entity_segment_text_rope_parity():
+    """Per-segment text rope (EliGen) == reference per-entity txt freqs
+    (process_entity_masks builds each segment from pos_embed(...)[1],
+    qwen_image_dit.py:441-445)."""
+    import torch
+
+    ref_mod = load_ref_module("models.qwen_image_dit")
+    rope = ref_mod.QwenEmbedRope(theta=10000, axes_dim=[16, 56, 56],
+                                 scale_rope=True)
+    img_shapes = [(1, 12, 16)]
+    seg_lens = [4, 7]
+    ref_parts = [rope(img_shapes, [l], device=torch.device("cpu"))[1]
+                 for l in seg_lens]
+    ref_cat = torch.cat(ref_parts, dim=0).numpy()
+
+    mvi = jrope.max_vid_index_of(img_shapes)
+    parts = [jrope.text_rope_tables(l, mvi) for l in seg_lens]
+    cos = np.concatenate([c for c, _ in parts])
+    sin = np.concatenate([s for _, s in parts])
+    np.testing.assert_allclose(cos, ref_cat.real, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(sin, ref_cat.imag, rtol=1e-5, atol=1e-5)
