@@ -219,15 +219,19 @@ def prefill(params, cfg: QwenVLTextConfig, inputs_embeds, position_ids,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
 def greedy_decode(params, cfg: QwenVLTextConfig, caches, first_token,
-                  start_pos, start_rope_pos, max_new_tokens: int):
+                  start_pos, start_rope_pos, max_new_tokens: int,
+                  key_mask=None):
     """Greedy decode loop (scan + done flag; static shapes throughout).
 
     caches: [L]-stacked (k_buf, v_buf) from prefill.
     first_token: [B] first sampled token (argmax of the prefill logits).
-    start_pos: scalar int cache-write position (= prompt length; assumes the
-    unpadded single-sequence decode the pipeline uses).
+    start_pos: scalar int cache-write position (= padded prompt length).
     start_rope_pos: [B] rope position of the first new token (text rope: all
     three components equal).
+    key_mask: optional [B, S_max] bool marking VALID prompt cache entries —
+    required when the prompt was (left-)padded to a bucketed length so the
+    decode program is reused across prompt lengths; padded slots stay
+    masked, generated slots become valid as they are written.
     Returns tokens [B, max_new_tokens] (eos-padded after stop) and done mask.
     """
     b = first_token.shape[0]
@@ -241,6 +245,11 @@ def greedy_decode(params, cfg: QwenVLTextConfig, caches, first_token,
 
         k_pos = jnp.arange(s_max)[None, :]
         ok = k_pos <= pos  # causal over cache (pos = write index)
+        if key_mask is not None:
+            # padded prompt slots stay invalid; generated slots (>= start
+            # of decoding, i.e. >= the prompt's padded length) follow the
+            # causal rule only
+            ok = ok & (key_mask | (k_pos >= start_pos))
         bias = jnp.where(ok, 0.0, -1e30)[:, None, None, :].astype(jnp.float32)
         bias = jnp.broadcast_to(bias, (b, 1, 1, s_max))
 

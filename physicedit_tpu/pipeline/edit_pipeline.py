@@ -354,17 +354,29 @@ class PhysicEditPipeline:
         pos = vl_host.get_rope_index(ids, grids, self.image_pad_id, self.vision_start_id)
 
         s = len(ids)
-        # Bucket the prompt length to bound recompilation across edits.
-        max_total = ((s + max_new_tokens + 127) // 128) * 128
+        # Bucket BOTH the prompt length (left-pad, masked) and the cache
+        # length so every reasoner call with a similar-length prompt reuses
+        # one compiled prefill + decode program.
+        s_pad = ((s + 127) // 128) * 128
+        pad = s_pad - s
+        max_total = s_pad + max_new_tokens
+        embeds_p = np.concatenate(
+            [np.zeros((pad, embeds.shape[1]), embeds.dtype), embeds], axis=0)
+        pos_p = np.concatenate([np.zeros((3, pad), pos.dtype), pos], axis=1)
+        attn_mask = np.concatenate([np.zeros(pad, bool), np.ones(s, bool)])
         logits, caches, _ = m_text.prefill(
             self.text_params, self.text_cfg,
-            jnp.asarray(embeds[None], self.dtype),
-            jnp.asarray(pos[:, None, :]), jnp.ones((1, s), bool), max_total)
+            jnp.asarray(embeds_p[None], self.dtype),
+            jnp.asarray(pos_p[:, None, :]), jnp.asarray(attn_mask[None]),
+            max_total)
         first = jnp.argmax(logits, -1).astype(jnp.int32)
         start_rope = int(pos.max()) + 1
+        key_mask = jnp.asarray(np.concatenate(
+            [attn_mask, np.zeros(max_total - s_pad, bool)])[None])
         toks, _ = m_text.greedy_decode(
-            self.text_params, self.text_cfg, caches, first, s,
-            jnp.full((1,), start_rope, jnp.int32), max_new_tokens)
+            self.text_params, self.text_cfg, caches, first, s_pad,
+            jnp.full((1,), start_rope, jnp.int32), max_new_tokens,
+            key_mask=key_mask)
         toks = np.asarray(toks)[0].tolist()
         if self.text_cfg.eos_token_id in toks:
             toks = toks[: toks.index(self.text_cfg.eos_token_id)]

@@ -195,3 +195,40 @@ def test_multimodal_greedy_decode_matches_hf():
                                 jnp.full((1,), start_rope, jnp.int32), max_new)
     ours = np.asarray(toks)[0]
     np.testing.assert_array_equal(ours[: len(ref_new)], ref_new)
+
+
+def test_left_padded_decode_matches_unpadded():
+    """Bucketed (left-padded + masked) prefill/decode must produce the same
+    tokens as the unpadded run — the reasoner's compile-reuse path."""
+    model, jcfg, _ = _tiny_hf(9)
+    params = C.qwen_vl_text_from_torch(model.state_dict(), dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    s, max_new = 9, 6
+    ids = rng.integers(5, 500, size=(1, s))
+    pos = np.tile(np.arange(s)[None, None], (3, 1, 1))
+    emb = np.asarray(jvl.embed_tokens(params, jnp.asarray(ids)))
+
+    # unpadded
+    logits, caches, _ = jvl.prefill(params, jcfg, jnp.asarray(emb),
+                                    jnp.asarray(pos), jnp.ones((1, s), bool),
+                                    s + max_new)
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+    ref, _ = jvl.greedy_decode(params, jcfg, caches, first, s,
+                               jnp.full((1,), s, jnp.int32), max_new)
+
+    # left-padded to 16
+    pad = 16 - s
+    emb_p = np.concatenate([np.zeros((1, pad, emb.shape[-1]), emb.dtype), emb], 1)
+    pos_p = np.concatenate([np.zeros((3, 1, pad), pos.dtype), pos], 2)
+    mask = np.concatenate([np.zeros((1, pad), bool), np.ones((1, s), bool)], 1)
+    max_total = 16 + max_new
+    logits2, caches2, _ = jvl.prefill(params, jcfg, jnp.asarray(emb_p),
+                                      jnp.asarray(pos_p), jnp.asarray(mask),
+                                      max_total)
+    first2 = jnp.argmax(logits2, -1).astype(jnp.int32)
+    key_mask = jnp.asarray(np.concatenate(
+        [mask, np.zeros((1, max_total - 16), bool)], 1))
+    out, _ = jvl.greedy_decode(params, jcfg, caches2, first2, 16,
+                               jnp.full((1,), s, jnp.int32), max_new,
+                               key_mask=key_mask)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
