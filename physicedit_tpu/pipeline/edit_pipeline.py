@@ -267,6 +267,10 @@ class PhysicEditPipeline:
         img = m_vae.decode_jit(self.vae_params, latents.astype(self.dtype),
                                self.vae_cfg)
         arr = np.asarray(img[0].astype(jnp.float32))
+        if not np.isfinite(arr).all():
+            raise FloatingPointError(
+                "VAE decode produced non-finite pixels - upstream latents "
+                "are NaN/Inf (check the schedule and model outputs)")
         arr = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
         return Image.fromarray(arr)
 

@@ -126,7 +126,14 @@ def build_schedule(
     if config.shift_terminal is not None:
         one_minus_z = 1.0 - sigmas
         scale_factor = one_minus_z[-1] / (1.0 - config.shift_terminal)
-        sigmas = 1.0 - (one_minus_z / scale_factor)
+        # Guard the degenerate terminal: with num_inference_steps == 1 (and
+        # extra_one_step) the single sigma is exactly 1, so one_minus_z[-1]
+        # is 0 and the rescale would be 0/0 -> a NaN schedule that poisons
+        # the whole denoise.  The rescale's purpose is to pin the final
+        # sigma at shift_terminal; when the schedule is a single pure-noise
+        # step there is nothing to rescale, so skip it.
+        if scale_factor > 0.0:
+            sigmas = 1.0 - (one_minus_z / scale_factor)
 
     if config.reverse_sigmas:
         sigmas = 1.0 - sigmas

@@ -20,6 +20,19 @@ def test_qwen_inference_schedule_shape_and_range():
     assert sched.sigmas_next[-1] == 0.0
 
 
+@pytest.mark.parametrize("steps", [1, 2, 40])
+def test_schedule_always_finite(steps):
+    """Round-1 regression: with steps=1 + extra_one_step the single sigma is
+    exactly 1, the shift_terminal rescale was 0/0, and a NaN schedule
+    poisoned the whole denoise (silently - the e2e test stayed green)."""
+    sched = fm.qwen_inference_schedule(steps, height=64, width=64)
+    assert np.isfinite(sched.sigmas).all()
+    assert np.isfinite(sched.timesteps).all()
+    assert np.isfinite(sched.sigmas_next).all()
+    if steps > 1:
+        assert sched.sigmas[-1] == pytest.approx(0.02, abs=1e-5)
+
+
 def test_dynamic_shift_moves_schedule():
     lo = fm.qwen_inference_schedule(40, height=256, width=256)
     hi = fm.qwen_inference_schedule(40, height=1024, width=1024)
