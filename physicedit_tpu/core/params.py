@@ -19,6 +19,10 @@ def linear(p, x):
         from physicedit_tpu.ops.quant import int8_linear
 
         return int8_linear(p, x)
+    if "w4" in p:  # packed-int4 W4A8 path (kernels/quant_matmul.py)
+        from physicedit_tpu.kernels.quant_matmul import w4a8_linear
+
+        return w4a8_linear(p, x)
     out = x @ p["w"]
     if "b" in p:
         out = out + p["b"]

@@ -1,19 +1,28 @@
 """Fused flash attention for the DiT joint-attention hot loop (Pallas/TPU).
 
 Replaces the reference's FlashAttention-3 path (qwen_image_dit.py:14-39)
-with a TPU-native online-softmax kernel:
+with TPU-native kernels.  Two softmax variants:
 
-- grid (batch, heads, q_blocks, k_blocks); the k axis is innermost so the
-  VMEM scratch accumulators (m, l, acc) persist across it — the canonical
-  Mosaic reduction pattern,
-- fp32 running max / normaliser / accumulator; bf16 QK^T and PV on the MXU,
-- key-side padding mask (the CFG text-padding mask) folded into the scores
-  with a -1e30 bias — finite, so fully-masked (padded) query rows stay
-  finite and are simply discarded by the caller.
+- **fixed-max** (default): no running max.  The DiT RMS-norms q and k per
+  head before attention (qwen_image_dit.py:341-344), so logits are bounded
+  by Cauchy-Schwarz: |q.k/sqrt(d)| <= sqrt(d)*|gamma_q||gamma_k| (~11 for
+  unit gammas) — far below the fp32 exp overflow point.  Softmax therefore
+  needs no max subtraction; a CLAMP guards pathological weights.  This
+  removes the running-max/rescale machinery from the VPU inner loop (the
+  bottleneck at the 8448-token workload: measured 47 ms -> ~35 ms/call,
+  faster than jax's stock flash and splash kernels at this shape).
+- **online-softmax** (fallback, `variant="online"`): the canonical
+  numerically-unbounded-safe kernel.
 
-The public wrapper pads sequence lengths to block multiples and falls back
-to the XLA path for shapes the kernel doesn't target (head_dim != 128 or
-attention bias, e.g. EliGen entity masks).
+Common structure: grid (batch, heads, q_blocks, k_blocks), k innermost so
+VMEM scratch accumulators persist across it; fp32 normaliser/accumulator;
+bf16 QK^T and PV on the MXU; key-side padding (the CFG text mask) as a
+-1e30 additive bias — finite, so fully-masked query rows stay finite and
+are discarded by the caller.  exp2 with log2(e) folded into the scale.
+
+The public wrapper pads sequence lengths to block multiples (default
+blocks are chosen to divide the production 8448-token joint sequence
+exactly) and falls back to XLA for head_dim != 128.
 """
 
 from __future__ import annotations
@@ -26,8 +35,139 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
+# exp2(CLAMP) * 16k keys ~ 2e34 < fp32 max: no overflow even if the
+# bounded-logits assumption is violated by extreme trained gammas.
+CLAMP = 100.0
 DEFAULT_BQ = 256
 DEFAULT_BK = 1024
+
+
+def _pick_blocks(sq: int, sk: int) -> tuple[int, int]:
+    """Largest well-performing blocks that divide the (padded) lengths.
+
+    Measured on v5e at the 8448 workload: (768, 1408) is the sweet spot;
+    any multiple-of-128 block divides after padding."""
+    bq = 768 if sq % 768 == 0 else DEFAULT_BQ
+    bk = 1408 if sk % 1408 == 0 else DEFAULT_BK
+    return bq, bk
+
+
+# ---------------------------------------------------------------------------
+# Fixed-max kernel (default): p = exp2(min(s*scale + bias, CLAMP))
+# ---------------------------------------------------------------------------
+
+def _fixedmax_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, l_scr, acc_scr,
+                     *, scale_log2e, bk_total):
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p = jnp.exp2(jnp.minimum(s * scale_log2e + bias_ref[0, 0][None, :], CLAMP))
+    l_scr[:, :1] += jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] += jax.lax.dot_general(p.astype(v.dtype), v,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(ki == bk_total - 1)
+    def _finish():
+        out_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(out_ref.dtype)
+
+
+def _fixedmax_kernel_bias2d(q_ref, k_ref, v_ref, bias_ref, kbias_ref, out_ref,
+                            l_scr, acc_scr, *, scale_log2e, bk_total):
+    """Fixed-max with an additive [S_q, S_k] bias (EliGen entity masks);
+    the bias is pre-multiplied by log2(e) in the wrapper."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale_log2e + bias_ref[0] + kbias_ref[0, 0][None, :]
+    p = jnp.exp2(jnp.minimum(s, CLAMP))
+    l_scr[:, :1] += jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] += jax.lax.dot_general(p.astype(v.dtype), v,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(ki == bk_total - 1)
+    def _finish():
+        out_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _fixedmax_bnsd(q, k, v, key_bias, block_q, block_k):
+    """q/k/v: [B, N, S, D] (S padded to block multiples);
+    key_bias: [B, 1, S_k] fp32, 0 for valid keys / -1e30 for masked."""
+    b, n, sq, d = q.shape
+    sk = k.shape[2]
+    nq, nk = sq // block_q, sk // block_k
+    kernel = functools.partial(_fixedmax_kernel,
+                               scale_log2e=LOG2E / (d ** 0.5), bk_total=nk)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b_, h, qi, ki: (b_, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b_, h, qi, ki: (b_, h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+    )(q, k, v, key_bias)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _fixedmax_bnsd_bias(q, k, v, key_bias, bias, block_q, block_k):
+    """Fixed-max with [B, S_q, S_k] additive bias (already scaled by log2e)."""
+    b, n, sq, d = q.shape
+    sk = k.shape[2]
+    nq, nk = sq // block_q, sk // block_k
+    kernel = functools.partial(_fixedmax_kernel_bias2d,
+                               scale_log2e=LOG2E / (d ** 0.5), bk_total=nk)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h, ki, 0)),
+            pl.BlockSpec((1, block_q, block_k), lambda b_, h, qi, ki: (b_, qi, ki)),
+            pl.BlockSpec((1, 1, block_k), lambda b_, h, qi, ki: (b_, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b_, h, qi, ki: (b_, h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+    )(q, k, v, bias, key_bias)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
@@ -173,14 +313,21 @@ def _flash_bnsd_bias(q, k, v, key_mask, bias, block_q=DEFAULT_BQ,
 
 
 def flash_attention_bnsd(q, k, v, key_mask=None, bias=None,
-                         block_q: int = DEFAULT_BQ, block_k: int = DEFAULT_BK):
+                         block_q: int | None = None,
+                         block_k: int | None = None,
+                         variant: str = "fixedmax"):
     """Heads-major fused attention: q/k/v [B, N, S, D] -> [B, N, S, D].
 
     The layout the DiT block uses natively — no transposes; only tail
-    padding to block multiples (cheap; the joint 256+8192 sequence at the
-    1024-sq workload is already a 256-multiple).  `bias` is an optional
-    head-shared additive [B, S, S] mask (EliGen)."""
+    padding to block multiples (block defaults divide the production 8448
+    joint sequence exactly, zero pad waste).  `bias` is an optional
+    head-shared additive [B, S, S] mask (EliGen).  `variant="online"`
+    selects the running-max kernel (safe for unbounded logits)."""
     b, n, s, d = q.shape
+    if block_q is None or block_k is None:
+        bq_auto, bk_auto = _pick_blocks(s, s)
+        block_q = block_q or bq_auto
+        block_k = block_k or bk_auto
     if key_mask is None:
         key_mask = jnp.ones((b, s), bool)
     pad_q = (-s) % block_q
@@ -189,10 +336,20 @@ def flash_attention_bnsd(q, k, v, key_mask=None, bias=None,
     kt = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
     vt = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
     mask = jnp.pad(key_mask.astype(bool), ((0, 0), (0, pad_k)))[:, None, :]
-    if bias is not None:
-        bias = jnp.pad(bias.astype(jnp.float32),
-                       ((0, 0), (0, pad_q), (0, pad_k)))
-        out = _flash_bnsd_bias(qt, kt, vt, mask, bias,
+    if variant == "fixedmax":
+        key_bias = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
+        if bias is not None:
+            bias2d = jnp.pad(bias.astype(jnp.float32) * LOG2E,
+                             ((0, 0), (0, pad_q), (0, pad_k)))
+            out = _fixedmax_bnsd_bias(qt, kt, vt, key_bias, bias2d,
+                                      block_q=block_q, block_k=block_k)
+        else:
+            out = _fixedmax_bnsd(qt, kt, vt, key_bias,
+                                 block_q=block_q, block_k=block_k)
+    elif bias is not None:
+        bias_p = jnp.pad(bias.astype(jnp.float32),
+                         ((0, 0), (0, pad_q), (0, pad_k)))
+        out = _flash_bnsd_bias(qt, kt, vt, mask, bias_p,
                                block_q=block_q, block_k=block_k)
     else:
         out = _flash_bnsd(qt, kt, vt, mask, block_q=block_q, block_k=block_k)
@@ -200,7 +357,8 @@ def flash_attention_bnsd(q, k, v, key_mask=None, bias=None,
 
 
 def flash_attention(q, k, v, key_mask=None, bias=None,
-                    block_q: int = DEFAULT_BQ, block_k: int = DEFAULT_BK):
+                    block_q: int | None = None, block_k: int | None = None,
+                    variant: str = "fixedmax"):
     """Drop-in for ops.attention.sdpa_xla: q/k/v [B, S, N, D] -> [B, S, N, D]."""
     if bias is not None or q.shape[-1] % 128 != 0:
         from physicedit_tpu.ops.attention import sdpa_xla
@@ -209,5 +367,6 @@ def flash_attention(q, k, v, key_mask=None, bias=None,
 
     out = flash_attention_bnsd(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3), key_mask, block_q=block_q, block_k=block_k)
+        v.transpose(0, 2, 1, 3), key_mask, block_q=block_q, block_k=block_k,
+        variant=variant)
     return out.transpose(0, 2, 1, 3)

@@ -1,0 +1,194 @@
+"""Packed-int4-weight matmul kernels (Pallas/TPU).
+
+The TPU answer to the reference's low-precision compute + CPU-offload VRAM
+manager (diffsynth/vram_management/layers.py:95-171): the 20B-param DiT in
+bf16 (40.7 GB) exceeds the 16 GB of one v5e chip, and the tunnelled host
+link (~1.4 GB/s measured) is far too slow for per-block weight streaming.
+Int4 weights (10.2 GB) keep the whole model HBM-resident, and the
+int8 x int8 dot rides the MXU double rate (measured ~220 TOPS vs ~140
+TFLOPS bf16 at the DiT workload shapes).
+
+jnp.int4 is unusable on this stack (dot_general recursion bug; and the
+device layout is byte-per-element, so no memory win), so nibbles are
+hand-packed two-per-int8-byte along the contraction axis:
+
+    packed[k, n] = (w_q[k + K/2, n] << 4) | (w_q[k, n] & 0xF)   k < K/2
+
+i.e. the LOW nibble holds the first half of K, the HIGH nibble the second
+half.  The kernel feeds the two contiguous K-halves of the activation
+against the two unpacked nibble planes — no interleaving, no strided
+slicing; the unpack is two arithmetic shifts per weight tile (<1% of the
+tile's MXU work at block_m >= 512).
+
+Weights are quantized per-output-channel symmetric to [-7, 7];
+activations per-row symmetric int8 (same scheme as ops/quant.py W8A8).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing
+# ---------------------------------------------------------------------------
+
+def quantize_weight_int4(w: jax.Array) -> dict:
+    """[K, N] float -> {'w4': int8 [K/2, N] packed nibbles, 'w_scale': f32 [N]}.
+
+    K must be even (all DiT/VL projection dims are multiples of 256).
+    """
+    k = w.shape[0]
+    assert k % 2 == 0, f"contraction dim {k} must be even for nibble packing"
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)
+    scale = jnp.maximum(amax / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    lo, hi = q[: k // 2], q[k // 2:]
+    packed = ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+    return {"w4": packed, "w_scale": scale[0]}
+
+
+def quantize_rows(x: jax.Array):
+    """[..., K] float -> (int8 values, f32 per-row scales [..., 1])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _w4a8_kernel(xlo_ref, xhi_ref, wp_ref, xs_ref, wsb_ref, out_ref,
+                 acc_scr, *, nk):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # Unpack nibbles in int32 (Mosaic cannot lower int8 vector shifts);
+    # arithmetic shifts recover the sign of each nibble.
+    wp = wp_ref[:].astype(jnp.int32)     # [bk2, bn] packed
+    w_lo = ((wp << 28) >> 28).astype(jnp.int8)
+    w_hi = (wp >> 4).astype(jnp.int8)
+    acc_scr[:] += jax.lax.dot_general(
+        xlo_ref[:], w_lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc_scr[:] += jax.lax.dot_general(
+        xhi_ref[:], w_hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(kk == nk - 1)
+    def _finish():
+        # Fused dequant epilogue: int32 acc never leaves VMEM (an [M, N]
+        # int32 materialisation would be 0.8 GB at the fc1 workload).
+        out_ref[:] = (acc_scr[:].astype(jnp.float32) * xs_ref[:]
+                      * wsb_ref[0:1, :] + wsb_ref[1:2, :]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_m", "block_n", "block_k2", "out_dtype"))
+def _w4a8_matmul(x_q, packed, x_scale, wsb, out_dtype,
+                 block_m=512, block_n=1024, block_k2=512):
+    """x_q: [M, K] int8; packed: [K/2, N] int8; x_scale: [M, 1] f32;
+    wsb: [2, N] f32 (row 0 = weight scales, row 1 = bias or zeros)
+    -> [M, N] out_dtype, dequantized.
+
+    The two K-halves of x are fed as two views of the same buffer with
+    offset index maps, matched against the low/high nibble planes.
+    """
+    m, k = x_q.shape
+    k2, n = packed.shape
+    assert k == 2 * k2, (x_q.shape, packed.shape)
+    nm, nn, nk = m // block_m, n // block_n, k2 // block_k2
+    kernel = functools.partial(_w4a8_kernel, nk=nk)
+    return pl.pallas_call(
+        kernel,
+        grid=(nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k2), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((block_m, block_k2),
+                         lambda i, j, kk, nk=nk: (i, kk + nk)),
+            pl.BlockSpec((block_k2, block_n), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((block_m, 1), lambda i, j, kk: (i, 0)),
+            pl.BlockSpec((2, block_n), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(x_q, x_q, packed, x_scale, wsb)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def w4a8_linear(p: dict, x: jax.Array) -> jax.Array:
+    """y = dequant(int8(x) @ unpack_int4(w)) (+ b); returns x.dtype.
+
+    p: {'w4': [K/2, N] int8, 'w_scale': [N] f32, optional 'b': [N]}.
+    Arbitrary leading dims on x; M and N padded to block multiples.
+    """
+    *lead, k = x.shape
+    m = 1
+    for s in lead:
+        m *= s
+    x2 = x.reshape(m, k)
+    xq, xs = quantize_rows(x2)
+    k2, n = p["w4"].shape
+
+    bm = 512 if m % 512 == 0 else (256 if m % 256 == 0 else
+                                   _round_up(max(m, 8), 8))
+    bn = 1024 if n % 1024 == 0 else (256 if n % 256 == 0 else 128)
+    bk2 = 512 if k2 % 512 == 0 else (256 if k2 % 256 == 0 else 128)
+    pad_m = _round_up(m, bm) - m
+    if pad_m:
+        xq = jnp.pad(xq, ((0, pad_m), (0, 0)))
+        xs = jnp.pad(xs, ((0, pad_m), (0, 0)))
+    bias = (p["b"].astype(jnp.float32) if "b" in p
+            else jnp.zeros((n,), jnp.float32))
+    wsb = jnp.stack([p["w_scale"].astype(jnp.float32), bias])
+    out = _w4a8_matmul(xq, p["w4"], xs.astype(jnp.float32), wsb, x.dtype,
+                       block_m=bm, block_n=bn, block_k2=bk2)
+    if pad_m:
+        out = out[:m]
+    return out.reshape(*lead, n)
+
+
+def quantize_tree_int4(params, min_size: int = 1 << 16):
+    """Replace every large linear leaf {'w': ...} with packed int4 form.
+
+    Stacked-layer leaves (leading layer axis from lax.scan) are vmapped.
+    Small leaves (norm scales, biases) stay as-is.
+    """
+    def walk(node):
+        if isinstance(node, dict):
+            if "w" in node and hasattr(node["w"], "size") and node["w"].ndim >= 2 \
+                    and node["w"].size >= min_size:
+                w = node["w"]
+                if w.ndim == 2:
+                    q = dict(quantize_weight_int4(w))
+                else:
+                    out = jax.vmap(quantize_weight_int4)(w)
+                    q = {"w4": out["w4"], "w_scale": out["w_scale"]}
+                for kk, v in node.items():
+                    if kk != "w":
+                        q[kk] = v
+                return q
+            return {kk: walk(v) for kk, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)

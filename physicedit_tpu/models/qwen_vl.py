@@ -233,6 +233,12 @@ def greedy_decode(params, cfg: QwenVLTextConfig, caches, first_token,
     decode program is reused across prompt lengths; padded slots stay
     masked, generated slots become valid as they are written.
     Returns tokens [B, max_new_tokens] (eos-padded after stop) and done mask.
+
+    Decodes with ``lax.while_loop`` and exits as soon as every row has
+    emitted EOS — the same cost model as the reference's HF ``generate``
+    (qwen_image_physical.py:860 stops at EOS), instead of always paying for
+    max_new_tokens steps.  Output is bit-identical to the full-length scan
+    (post-EOS slots are EOS-filled).
     """
     b = first_token.shape[0]
     s_max = jax.tree_util.tree_leaves(caches)[0].shape[2]
@@ -268,7 +274,19 @@ def greedy_decode(params, cfg: QwenVLTextConfig, caches, first_token,
         return (nxt, pos + 1, rope_pos + 1, caches, done), tok
 
     done0 = first_token == cfg.eos_token_id
-    (_, _, _, _, done), toks = jax.lax.scan(
-        step, (first_token, start_pos, start_rope_pos, caches, done0),
-        None, length=max_new_tokens)
-    return jnp.moveaxis(toks, 0, 1), done
+    buf0 = jnp.full((b, max_new_tokens), cfg.eos_token_id, jnp.int32)
+
+    def cond(state):
+        i, carry, _ = state
+        return (i < max_new_tokens) & ~jnp.all(carry[4])
+
+    def body(state):
+        i, carry, buf = state
+        buf = jax.lax.dynamic_update_slice(buf, carry[0][:, None], (0, i))
+        carry, _ = step(carry, None)
+        return i + 1, carry, buf
+
+    _, (_, _, _, _, done), toks = jax.lax.while_loop(
+        cond, body,
+        (0, (first_token, start_pos, start_rope_pos, caches, done0), buf0))
+    return toks, done

@@ -54,3 +54,41 @@ def test_flash_fallback_small_head_dim():
     out = fa.flash_attention(q, k, v)
     ref = sdpa_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fixedmax_matches_xla_masked():
+    """Default (fixed-max) variant: masked keys + non-block-multiple length."""
+    q, k, v = _rand(2, 300, 2, 128, seed=3)
+    mask = np.ones((2, 300), bool)
+    mask[0, 250:] = False
+    mask[1, 100:140] = False
+    out = fa.flash_attention_bnsd(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), key_mask=jnp.asarray(mask),
+        block_q=128, block_k=128, variant="fixedmax")
+    ref = sdpa_xla(q, k, v, key_mask=jnp.asarray(mask)).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fixedmax_with_entity_bias():
+    """Fixed-max with the EliGen head-shared additive [B,S,S] bias."""
+    q, k, v = _rand(1, 256, 2, 128, seed=4)
+    bias = np.zeros((1, 256, 256), np.float32)
+    bias[0, :64, 128:] = -1e30  # entity block mask
+    out = fa.flash_attention_bnsd(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), bias=jnp.asarray(bias),
+        block_q=128, block_k=128, variant="fixedmax")
+    ref = sdpa_xla(q, k, v, bias=jnp.asarray(bias)[:, None]).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fixedmax_clamp_guards_large_logits():
+    """Logits beyond CLAMP stay finite (overflow guard for extreme gammas)."""
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(30.0 * rng.normal(size=(1, 2, 128, 128)).astype(np.float32))
+    out = fa.flash_attention_bnsd(q, q, q, block_q=128, block_k=128,
+                                  variant="fixedmax")
+    assert np.isfinite(np.asarray(out)).all()
