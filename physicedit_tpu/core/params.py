@@ -60,6 +60,52 @@ def tree_size_bytes(tree) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree))
 
 
+def random_tree_like(seed, shape_tree, int_low=-100, int_high=100):
+    """Materialise a pytree of random arrays matching a ShapeDtypeStruct tree.
+
+    Used to build benchmark weights for models too large to initialise in
+    float (e.g. the 20B DiT is created directly in its quantized layout:
+    ``jax.eval_shape`` the init+quantize composition, then fill).  Integer
+    leaves get uniform ints, float leaves small positive values (so random
+    quantization scales keep deep networks bounded).
+
+    Int8 leaves are generated on-device as raw random bytes
+    (``jax.random.bits`` at uint8 — every bit pattern is a valid int8 /
+    packed nibble, and temps stay the size of the output; 32-bit RNG temps
+    would fragment HBM exactly when the model barely fits).  The tunnelled
+    host link (~1.4 GB/s) is far too slow to generate 10+ GB host-side.
+    ``seed`` is an int or a jax PRNG key.
+    """
+    key = seed if hasattr(seed, "shape") else jax.random.PRNGKey(seed)
+    leaves, treedef = jax.tree_util.tree_flatten(shape_tree)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def _bytes(k, shape):
+        return jax.random.bits(k, shape, jnp.uint8).astype(jnp.int8)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def _scales(k, shape):
+        return (jnp.abs(jax.random.normal(k, shape, jnp.float32)) * 1e-4
+                + 1e-5)
+
+    def fill(k, sd):
+        if sd.dtype == jnp.int8:
+            out = _bytes(k, sd.shape)
+        elif jnp.issubdtype(sd.dtype, jnp.integer):
+            out = jax.random.randint(k, sd.shape, int_low, int_high,
+                                     jnp.int32).astype(sd.dtype)
+        else:
+            out = _scales(k, sd.shape).astype(sd.dtype)
+        out.block_until_ready()
+        return out
+
+    keys = jax.random.split(key, len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef, [fill(k, sd) for k, sd in zip(keys, leaves)])
+
+
 def cast_tree(tree, dtype):
     return jax.tree_util.tree_map(
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree

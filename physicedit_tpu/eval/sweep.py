@@ -33,21 +33,78 @@ def _load_hf_dataset(name: str, split: str = "train", local_path: str | None = N
     return load_dataset(name, split=split)
 
 
+class BucketBatcher:
+    """Group sweep items into same-resolution batches for
+    ``pipe.edit_batch`` (BASELINE config #5: batched serving).
+
+    Items accumulate per /32-quantised (w, h) bucket; a bucket flushes
+    when it reaches ``batch_size``.  ``flush_all`` drains stragglers (they
+    run at whatever partial batch remains).  batch_size=1 degrades to the
+    reference's one-image-per-invocation behaviour via ``pipe.__call__``.
+    """
+
+    def __init__(self, pipe, batch_size: int, seed: int,
+                 num_inference_steps: int):
+        self.pipe = pipe
+        self.batch_size = batch_size
+        self.seed = seed
+        self.steps = num_inference_steps
+        self.buckets: dict = {}
+
+    def add(self, prompt, image, out_path, on_done):
+        key = image.size
+        self.buckets.setdefault(key, []).append((prompt, image, out_path, on_done))
+        if len(self.buckets[key]) >= self.batch_size:
+            self._flush(key)
+
+    def _flush(self, key):
+        items = self.buckets.pop(key, [])
+        if not items:
+            return
+        w, h = key
+        if self.batch_size == 1 or len(items) == 1:
+            prompt, image, out_path, on_done = items[0]
+            out = self.pipe(prompt, edit_image=image, seed=self.seed,
+                            num_inference_steps=self.steps, height=h, width=w,
+                            edit_image_auto_resize=False)
+            on_done(out, out_path)
+            return
+        outs = self.pipe.edit_batch(
+            [p for p, _, _, _ in items], [im for _, im, _, _ in items],
+            height=h, width=w, seeds=[self.seed] * len(items),
+            num_inference_steps=self.steps)
+        for out, (_, _, out_path, on_done) in zip(outs, items):
+            on_done(out, out_path)
+
+    def flush_all(self):
+        for key in list(self.buckets):
+            self._flush(key)
+
+
 def run_pica_sweep(pipe, output_dir: str, prompt_type: str = "intermediate",
                    start_idx: int = 0, end_idx: int | None = None,
                    seed: int = 42, num_inference_steps: int = 40,
                    local_dataset_path: str | None = None,
                    native_resolution: bool = True,
                    skip_existing: bool = True,
-                   prompt_rewriter=None):
+                   prompt_rewriter=None,
+                   batch_size: int = 1):
     """prompt_rewriter: optional callable prompt -> prompt, the injectable
     replacement for the reference's GPT-4o-mini rewriter
-    (inference_pica.py:29-122; external API kept out of the framework)."""
+    (inference_pica.py:29-122; external API kept out of the framework).
+
+    batch_size > 1 batches same-resolution edits into one denoise
+    invocation (BucketBatcher)."""
     ds = _load_hf_dataset("Andrew613/PICABench", local_path=local_dataset_path)
     os.makedirs(output_dir, exist_ok=True)
     end_idx = len(ds) if end_idx is None else min(end_idx, len(ds))
     col = PICA_PROMPT_COLUMNS.get(prompt_type, prompt_type)
 
+    def on_done(out, out_path):
+        out.save(out_path)
+        print(f"[PICA] -> {out_path}", flush=True)
+
+    batcher = BucketBatcher(pipe, batch_size, seed, num_inference_steps)
     for idx in range(start_idx, end_idx):
         out_path = os.path.join(output_dir, f"{idx:05d}.jpg")
         if skip_existing and os.path.exists(out_path):
@@ -65,23 +122,25 @@ def run_pica_sweep(pipe, output_dir: str, prompt_type: str = "intermediate",
         prompt = rec[col]
         if prompt_rewriter is not None:
             prompt = prompt_rewriter(prompt)
-        out = pipe(prompt, edit_image=image, seed=seed,
-                   num_inference_steps=num_inference_steps,
-                   height=image.size[1], width=image.size[0],
-                   edit_image_auto_resize=False)
-        out.save(out_path)
-        print(f"[PICA] {idx} -> {out_path}", flush=True)
+        batcher.add(prompt, image, out_path, on_done)
+    batcher.flush_all()
 
 
 def run_kris_sweep(pipe, output_dir: str, start_idx: int = 0,
                    end_idx: int | None = None, seed: int = 42,
                    num_inference_steps: int = 40,
                    local_dataset_path: str | None = None,
-                   skip_existing: bool = True):
+                   skip_existing: bool = True,
+                   batch_size: int = 1):
     ds = _load_hf_dataset("Liang0223/KRIS_Bench", local_path=local_dataset_path)
     os.makedirs(output_dir, exist_ok=True)
     end_idx = len(ds) if end_idx is None else min(end_idx, len(ds))
 
+    def on_done(out, out_path):
+        out.save(out_path)
+        print(f"[KRIS] -> {out_path}", flush=True)
+
+    batcher = BucketBatcher(pipe, batch_size, seed, num_inference_steps)
     for idx in range(start_idx, end_idx):
         rec = ds[idx]
         category = rec.get("category", "default")
@@ -93,9 +152,5 @@ def run_kris_sweep(pipe, output_dir: str, start_idx: int = 0,
             continue
         image = resize_image(rec["image"].convert("RGB"))
         prompt = rec.get("instruction", rec.get("prompt", ""))
-        out = pipe(prompt, edit_image=image, seed=seed,
-                   num_inference_steps=num_inference_steps,
-                   height=image.size[1], width=image.size[0],
-                   edit_image_auto_resize=False)
-        out.save(out_path)
-        print(f"[KRIS] {idx} ({category}) -> {out_path}", flush=True)
+        batcher.add(prompt, image, out_path, on_done)
+    batcher.flush_all()

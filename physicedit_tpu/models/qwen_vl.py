@@ -171,6 +171,40 @@ def text_forward(params, cfg: QwenVLTextConfig, inputs_embeds, position_ids,
     return rms_norm(x, params["norm"]["scale"], cfg.eps)
 
 
+def init_text_params(key, cfg: QwenVLTextConfig, dtype=jnp.float32):
+    """Random text-decoder params (tests/benches); same tree layout as
+    io/convert.qwen_vl_text_from_torch.  Qwen2.5 bias placement: q/k/v
+    biased, o / mlp / lm_head bias-free."""
+    from physicedit_tpu.core.params import linear_init, stack_trees
+
+    d, kvd = cfg.hidden_size, cfg.num_kv_heads * cfg.head_dim
+    qd = cfg.num_heads * cfg.head_dim
+    ks = iter(jax.random.split(key, 10 * cfg.num_layers + 4))
+
+    def layer():
+        return {
+            "ln1": {"scale": jnp.ones((d,), dtype)},
+            "q": linear_init(next(ks), d, qd, dtype),
+            "k": linear_init(next(ks), d, kvd, dtype),
+            "v": linear_init(next(ks), d, kvd, dtype),
+            "o": linear_init(next(ks), qd, d, dtype, bias=False),
+            "ln2": {"scale": jnp.ones((d,), dtype)},
+            "mlp": {
+                "gate": linear_init(next(ks), d, cfg.intermediate_size, dtype, bias=False),
+                "up": linear_init(next(ks), d, cfg.intermediate_size, dtype, bias=False),
+                "down": linear_init(next(ks), cfg.intermediate_size, d, dtype, bias=False),
+            },
+        }
+
+    return {
+        "embed": jax.random.normal(next(ks), (cfg.vocab_size, d), jnp.float32)
+        .astype(dtype) * 0.02,
+        "layers": stack_trees([layer() for _ in range(cfg.num_layers)]),
+        "norm": {"scale": jnp.ones((d,), dtype)},
+        "lm_head": linear_init(next(ks), d, cfg.vocab_size, dtype, bias=False),
+    }
+
+
 def embed_tokens(params, input_ids):
     return params["embed"][input_ids]
 

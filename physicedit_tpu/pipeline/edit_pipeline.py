@@ -611,6 +611,104 @@ class PhysicEditPipeline:
 
         return self.decode_image(latents)
 
+    # ------------------------------------------------------------------
+    # Batched serving
+    # ------------------------------------------------------------------
+
+    def edit_batch(self, prompts: list, edit_images: list,
+                   negative_prompt: str = "", cfg_scale: float = 4.0,
+                   height: int = 1024, width: int = 1024,
+                   seeds: list | None = None, num_inference_steps: int = 40,
+                   have_text_reasoning: bool = True,
+                   edit_image_auto_resize: bool = False):
+        """Edit N same-resolution images in ONE denoise invocation.
+
+        The TPU-native answer to BASELINE config #5 (batched PICABench /
+        KRIS sweep): the reference shards the sweep by index range, one
+        image per GPU per denoise (inference_pica.py:217-303); here the
+        CFG batch carries N positives + N negatives (2N DiT rows) so the
+        chip amortises dispatch and schedule glue, and on a mesh the
+        batch axis is the data-parallel axis.  The caller groups images
+        into same-/32-resolution buckets (eval/sweep.py).
+
+        Item i uses seeds[i] (default: i) for its own noise; per-item
+        prompts share one bucketed text length.  Returns N PIL images.
+        """
+        n = len(prompts)
+        assert len(edit_images) == n and n >= 1
+        height, width = (height + 15) // 16 * 16, (width + 15) // 16 * 16
+        lat_h, lat_w = height // 8, width // 8
+        seeds = list(range(n)) if seeds is None else list(seeds)
+
+        sched = fm.build_schedule(
+            num_inference_steps, fm.QWEN_IMAGE_CONFIG,
+            dynamic_shift_len=(height // 16) * (width // 16))
+
+        noise = jnp.concatenate(
+            [self.generate_noise((1, lat_h, lat_w, 16), s) for s in seeds])
+
+        # Per-item edit-image latents -> tokens [N, S_e, 64]
+        img_shapes = [(1, lat_h // 2, lat_w // 2)]
+        lats, shapes_seen = [], set()
+        for im in edit_images:
+            resized = (self.edit_image_auto_resize(im)
+                       if edit_image_auto_resize else im)
+            lat = self.encode_image(resized)
+            lats.append(patchify(lat))
+            shapes_seen.add(lat.shape[1:3])
+        assert len(shapes_seen) == 1, (
+            f"edit_batch requires one resolution bucket, got {shapes_seen}")
+        eh, ew = next(iter(shapes_seen))
+        img_shapes.append((1, eh // 2, ew // 2))
+        extra_tokens = jnp.concatenate(lats, axis=0)
+
+        # Conditioning: reasoner + prompt encode per item (host loop; the
+        # denoise dominates), positives then negatives on the batch axis.
+        embs, specials = [], []
+        for prompt, im in zip(prompts, edit_images):
+            physical_txt = ""
+            if have_text_reasoning:
+                physical_txt = self.reason_physical(prompt, im)
+            e, sp = self.encode_prompt_edit(prompt + physical_txt, im)
+            embs.append(e)
+            specials.append(sp)
+        use_cfg = cfg_scale != 1.0
+        if use_cfg:
+            for im in edit_images:
+                e, sp = self.encode_prompt_edit(negative_prompt, im)
+                embs.append(e)
+                specials.append(sp)
+
+        bkt = self.txt_len_bucket
+        s_t = max(e.shape[0] for e in embs)
+        s_t = ((s_t + bkt - 1) // bkt) * bkt
+        b = len(embs)
+        prompt_emb = np.zeros((b, s_t, embs[0].shape[1]), np.float32)
+        txt_mask = np.zeros((b, s_t), bool)
+        for i, e in enumerate(embs):
+            prompt_emb[i, : e.shape[0]] = e
+            txt_mask[i, : e.shape[0]] = True
+
+        adapter_params = self.adapters.get("visual_thinking_adapter")
+        special_idx = None
+        if adapter_params is not None and all(s is not None for s in specials):
+            special_idx = jnp.asarray(np.stack(specials), jnp.int32)
+
+        ropes = m_rope.build_rope_tables(img_shapes, s_t,
+                                         axes_dim=self.rope_axes)
+        latents = denoise(
+            self.dit_params, self.dit_cfg, noise,
+            extra_tokens.astype(self.dtype),
+            jnp.asarray(prompt_emb, self.dtype), jnp.asarray(txt_mask),
+            *(jnp.asarray(r) for r in ropes),
+            jnp.asarray(sched.sigmas), jnp.asarray(sched.sigmas_next),
+            jnp.asarray(sched.timesteps), jnp.asarray(float(cfg_scale)),
+            latent_hw=(lat_h, lat_w),
+            adapter_params=adapter_params, special_idx=special_idx,
+            t_min=self.t_min, t_max=self.t_max, attn_impl=self.attn_impl,
+            lora=self.dit_lora)
+        return [self.decode_image(latents[i:i + 1]) for i in range(n)]
+
 
 def _merge_lora_pytree(dit_params: dict, lora: dict, alpha: float) -> dict:
     """Fold (A, B) factors into the framework-layout DiT weights."""

@@ -65,9 +65,16 @@ def denoise(
     inpaint_mask=None,     # [1, h, w, 1] in [0,1]; 1 = repaint region
     input_latents=None,    # [1, h, w, 16] clean latents (inpaint source)
 ):
-    """Run the full denoise schedule; returns final latents [1, h, w, 16]."""
+    """Run the full denoise schedule; returns final latents [N, h, w, 16].
+
+    Batched serving: ``latents`` may carry N independent same-resolution
+    edits; ``prompt_emb`` then has 2N rows under CFG (positives first,
+    negatives last) or N rows without.  N=1 is the single-edit path.
+    """
     h, w = latent_hw
+    n_items = latents.shape[0]
     batch = prompt_emb.shape[0]
+    reps = batch // n_items  # 2 under CFG
     dtype = prompt_emb.dtype
 
     use_control = control_blocks is not None
@@ -85,10 +92,12 @@ def denoise(
 
         img_tokens = patchify(latents.astype(dtype))
         if extra_img_tokens is not None:
-            img_tokens = jnp.concatenate(
-                [img_tokens, extra_img_tokens.astype(dtype)], axis=1)
-        img_tokens = jnp.broadcast_to(
-            img_tokens, (batch,) + img_tokens.shape[1:])
+            extra = jnp.broadcast_to(
+                extra_img_tokens.astype(dtype),
+                (n_items,) + extra_img_tokens.shape[1:])
+            img_tokens = jnp.concatenate([img_tokens, extra], axis=1)
+        if reps > 1:  # CFG: positives rows [0,N), negatives [N,2N)
+            img_tokens = jnp.tile(img_tokens, (reps, 1, 1))
 
         t_norm = jnp.broadcast_to(timestep / 1000.0, (batch,)).astype(dtype)
         control = None
@@ -102,8 +111,8 @@ def denoise(
         base_tokens = out[:, : (h // 2) * (w // 2)]
         v = unpatchify(base_tokens, h, w)
 
-        if batch == 2:
-            v_posi, v_nega = v[:1], v[1:]
+        if reps == 2:
+            v_posi, v_nega = v[:n_items], v[n_items:]
             v = v_nega + cfg_scale * (v_posi - v_nega)
         if inpaint_mask is not None and input_latents is not None:
             # Outside the mask, replace the prediction with the velocity

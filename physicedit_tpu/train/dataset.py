@@ -350,3 +350,83 @@ class Pica100kDataset:
             "triplet": {},
             "supported_rules": [], "contradicted_rules": [],
         }
+
+
+class VideoDataset:
+    """Generic video/image dataset with folder-scan metadata generation.
+
+    Feature-level port of the reference VideoDataset (trainers/utils.py:
+    154-367): json/csv metadata or auto-generated (media file + sibling
+    .txt prompt), frame-count fitting to ``num_frames % time_division_factor
+    == time_division_remainder``, dynamic resolution capped at max_pixels
+    and floored to /16, GIF variable-delay resampling.  Decoding is done by
+    the operator DSL (train/unified_dataset.py) so behaviour is shared with
+    UnifiedDataset.
+    """
+
+    def __init__(self, base_path: str | None = None,
+                 metadata_path: str | None = None, num_frames: int = 81,
+                 time_division_factor: int = 4, time_division_remainder: int = 1,
+                 max_pixels: int = 1920 * 1080,
+                 height: int | None = None, width: int | None = None,
+                 height_division_factor: int = 16,
+                 width_division_factor: int = 16,
+                 data_file_keys: tuple = ("video",), repeat: int = 1):
+        from physicedit_tpu.train import unified_dataset as U
+
+        self.base = Path(base_path) if base_path else None
+        self.data_file_keys = tuple(data_file_keys)
+        self.repeat = repeat
+        self.loader = U.UnifiedDataset.default_video_operator(
+            base_path=base_path or "", max_pixels=max_pixels,
+            height=height, width=width,
+            height_division_factor=height_division_factor,
+            width_division_factor=width_division_factor,
+            num_frames=num_frames,
+            time_division_factor=time_division_factor,
+            time_division_remainder=time_division_remainder)
+        self.records = self._load_metadata(metadata_path)
+
+    def _generate_metadata(self) -> list:
+        """Pair media files with sibling .txt prompts (utils.py:213-233)."""
+        records = []
+        names = set(os.listdir(self.base))
+        media_exts = VIDEO_EXTS | IMAGE_EXTS | {".gif"}
+        for name in sorted(names):
+            p = Path(name)
+            if p.suffix.lower() not in media_exts:
+                continue
+            txt = p.stem + ".txt"
+            if txt not in names:
+                continue
+            prompt = (self.base / txt).read_text(encoding="utf-8").strip()
+            records.append({"video": name, "prompt": prompt})
+        return records
+
+    def _load_metadata(self, metadata_path):
+        if metadata_path is None:
+            return self._generate_metadata()
+        mp = Path(metadata_path)
+        if mp.suffix == ".json":
+            return json.loads(mp.read_text())
+        if mp.suffix == ".jsonl":
+            return [json.loads(l) for l in mp.read_text().splitlines()
+                    if l.strip()]
+        import csv
+
+        with mp.open(newline="") as f:
+            return list(csv.DictReader(f))
+
+    def __len__(self):
+        return len(self.records) * self.repeat
+
+    def __getitem__(self, i: int):
+        rec = dict(self.records[i % len(self.records)])
+        for key in self.data_file_keys:
+            if key in rec and isinstance(rec[key], str):
+                try:
+                    rec[key] = self.loader(rec[key])
+                except (ValueError, OSError) as e:
+                    warnings.warn(f"cannot load {rec[key]}: {e}")
+                    return None
+        return rec

@@ -288,10 +288,18 @@ class Trainer:
 
         b = int(batch["input_latents"].shape[0])
         placed = {}
+        multi_process = jax.process_count() > 1
         for k, v in batch.items():
             data_sharded = hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == b                 and k not in ("img_cos", "img_sin", "txt_cos", "txt_sin")
             spec = P(shd.DATA_AXIS) if data_sharded else P()
-            placed[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
+            sharding = NamedSharding(self.mesh, spec)
+            if multi_process and data_sharded:
+                # multi-host: v holds only THIS process's rows (the data
+                # loader sliced by parallel.multihost.host_local_batch_slice)
+                placed[k] = jax.make_array_from_process_local_data(
+                    sharding, np.asarray(v))
+            else:
+                placed[k] = jax.device_put(v, sharding)
         return placed
 
     def train(self):

@@ -125,3 +125,43 @@ def test_pica_prompt_rewriter(tmp_path):
     run_pica_sweep(pipe, str(tmp_path / "out3"), local_dataset_path=ds_path,
                    end_idx=1, prompt_rewriter=lambda p: p.upper())
     assert pipe.calls[0]["prompt"] == "INT 0"
+
+
+class MockBatchPipe(MockPipe):
+    def __init__(self):
+        super().__init__()
+        self.batch_calls = []
+
+    def edit_batch(self, prompts, edit_images, height=None, width=None,
+                   seeds=None, num_inference_steps=None, **kw):
+        self.batch_calls.append({"n": len(prompts), "h": height, "w": width})
+        return [Image.new("RGB", (width, height), (i, 0, 0))
+                for i in range(len(prompts))]
+
+
+def test_pica_sweep_batched_buckets(tmp_path):
+    """batch_size>1 groups same-/32-bucket images into edit_batch calls;
+    stragglers and odd buckets flush at the end."""
+    from physicedit_tpu.eval.sweep import run_pica_sweep
+
+    rng = np.random.default_rng(1)
+    sizes = [(70, 100), (70, 100), (70, 100), (40, 64), (70, 100)]
+    recs = {
+        "image": [Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+                  for h, w in sizes],
+        "intermediate_prompt": [f"p{i}" for i in range(len(sizes))],
+        "superficial_prompt": [""] * len(sizes),
+        "explicit_prompt": [""] * len(sizes),
+    }
+    ds = datasets.Dataset.from_dict(recs)
+    path = str(tmp_path / "pica_b")
+    ds.save_to_disk(path)
+    out_dir = str(tmp_path / "outb")
+    pipe = MockBatchPipe()
+    run_pica_sweep(pipe, out_dir, local_dataset_path=path, batch_size=2,
+                   num_inference_steps=2)
+    # 4x (96x64)-bucket images -> two batches of 2; 1x (64x32) straggler
+    # flushes as a single __call__
+    assert sorted(c["n"] for c in pipe.batch_calls) == [2, 2]
+    assert len(pipe.calls) == 1
+    assert len(os.listdir(out_dir)) == 5

@@ -285,3 +285,23 @@ def test_txt_bucketing_bounds_compiles(tiny_pipe):
         EP.denoise = orig
     assert captured[0] == captured[1]
     assert captured[0][1] % tiny_pipe.txt_len_bucket == 0
+
+
+def test_edit_batch_matches_single_edits(tiny_pipe):
+    """Batched serving: N same-bucket edits in one denoise invocation
+    reproduce the single-edit outputs (same per-item seed/noise)."""
+    rng = np.random.default_rng(11)
+    ims = [Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+           for _ in range(2)]
+    prompts = ["move the red box", "tilt the big cup"]
+    singles = [np.asarray(tiny_pipe(
+        p, edit_image=im, height=64, width=64, seed=s,
+        num_inference_steps=2, have_text_reasoning=False,
+        edit_image_auto_resize=False))
+        for p, im, s in zip(prompts, ims, [5, 9])]
+    batched = tiny_pipe.edit_batch(
+        prompts, ims, height=64, width=64, seeds=[5, 9],
+        num_inference_steps=2, have_text_reasoning=False)
+    for one, many in zip(singles, batched):
+        diff = np.abs(one.astype(np.int16) - np.asarray(many).astype(np.int16))
+        assert diff.max() <= 1, diff.max()  # fp reassociation tolerance

@@ -1,0 +1,146 @@
+"""Generic VideoDataset / UnifiedDataset DSL — exercised on REAL encoded
+media files (round-1 gap: the video decode path was only ever fed synthetic
+in-memory samples)."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from physicedit_tpu.train import unified_dataset as U
+from physicedit_tpu.train.dataset import PhysicTranDataset, VideoDataset
+
+
+def _frame(i, size=(64, 48)):
+    arr = np.zeros((size[1], size[0], 3), np.uint8)
+    arr[:, :, 0] = (i * 23) % 256
+    arr[4:12, 4:12, 1] = 255
+    return Image.fromarray(arr)
+
+
+def _write_gif(path, n=12, duration=100):
+    frames = [_frame(i) for i in range(n)]
+    frames[0].save(path, save_all=True, append_images=frames[1:],
+                   duration=duration, loop=0)
+
+
+def _write_mp4(path, n=12):
+    try:
+        import imageio
+
+        w = imageio.get_writer(str(path), fps=8)
+        for i in range(n):
+            w.append_data(np.asarray(_frame(i)))
+        w.close()
+        return True
+    except Exception:  # noqa: BLE001 — no ffmpeg plugin in this env
+        return False
+
+
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    _write_gif(d / "0001.gif")
+    (d / "0001.txt").write_text("make the square glow")
+    has_mp4 = _write_mp4(d / "0002.mp4")
+    if has_mp4:
+        (d / "0002.txt").write_text("tilt the frame")
+    (d / "ignored.dat").write_text("not media")
+    return d, has_mp4
+
+
+def test_video_dataset_folder_scan_and_gif(media_dir):
+    d, has_mp4 = media_dir
+    ds = VideoDataset(base_path=str(d), num_frames=9,
+                      time_division_factor=4, time_division_remainder=1,
+                      height=32, width=32)
+    assert len(ds) == (2 if has_mp4 else 1)
+    item = ds[0]
+    assert item["prompt"] == "make the square glow"
+    frames = item["video"]
+    # 9 requested, 12 available -> 9 (9 % 4 == 1 already)
+    assert len(frames) == 9
+    assert frames[0].size == (32, 32)
+
+
+def test_video_dataset_frame_count_fitting(media_dir):
+    d, _ = media_dir
+    # request more frames than exist: largest n <= 12 with n % 4 == 1 is 9
+    ds = VideoDataset(base_path=str(d), num_frames=100, height=32, width=32)
+    assert len(ds[0]["video"]) == 9
+
+
+def test_video_dataset_mp4_decode(media_dir):
+    d, has_mp4 = media_dir
+    if not has_mp4:
+        pytest.skip("no mp4 writer plugin in this environment")
+    ds = VideoDataset(base_path=str(d), num_frames=5, height=32, width=32)
+    item = ds[1]
+    assert len(item["video"]) == 5
+    assert item["video"][0].size == (32, 32)
+
+
+def test_gif_variable_delay_resampling(tmp_path):
+    # frames with delays 100,200,100 -> resampled at 100ms: f0, f1, f1, f2
+    frames = [_frame(i) for i in range(3)]
+    p = tmp_path / "var.gif"
+    frames[0].save(p, save_all=True, append_images=frames[1:],
+                   duration=[100, 200, 100], loop=0)
+    out = U.LoadGIF(num_frames=16, time_division_factor=1,
+                    time_division_remainder=0)(str(p))
+    assert len(out) == 4
+
+
+def test_unified_dataset_jsonl_and_operators(media_dir, tmp_path):
+    d, _ = media_dir
+    meta = tmp_path / "meta.jsonl"
+    meta.write_text(json.dumps({"video": "0001.gif", "prompt": "p"}) + "\n")
+    ds = U.UnifiedDataset(
+        base_path=str(d), metadata_path=str(meta),
+        data_file_keys=("video",),
+        main_data_operator=U.UnifiedDataset.default_video_operator(
+            base_path=str(d), num_frames=5, height=32, width=32))
+    item = ds[0]
+    assert len(item["video"]) == 5 and item["prompt"] == "p"
+
+
+def test_unified_dataset_cached_npz(tmp_path):
+    np.savez(tmp_path / "a.npz", latents=np.ones((2, 3), np.float32))
+    np.savez(tmp_path / "b.npz", latents=np.zeros((2, 3), np.float32))
+    ds = U.UnifiedDataset(base_path=str(tmp_path))
+    assert len(ds) == 2
+    assert ds[0]["latents"].shape == (2, 3)
+
+
+def test_operator_composition_and_routing(tmp_path):
+    pipe = U.ToStr() >> U.ToInt() >> U.ToFloat()
+    assert pipe("42") == 42.0
+    route = U.RouteByType([(int, U.ToStr()), (str, U.Raw())])
+    assert route(3) == "3" and route("x") == "x"
+    with pytest.raises(ValueError):
+        U.RouteByExtensionName([(("png",), U.Raw())])("f.exe")
+
+
+def test_physictran_decodes_real_video_file(tmp_path):
+    """PhysicTranDataset end-to-end on a real encoded file (gif via imageio)."""
+    leaf = tmp_path / "set1"
+    leaf.mkdir()
+    _write_gif(leaf / "0.gif", n=20)
+    ok_mp4 = _write_mp4(leaf / "0.mp4", n=20)
+    name = "0.mp4" if ok_mp4 else "0.gif"
+    if not ok_mp4:
+        pytest.skip("no mp4 writer; PhysicTran only scans video extensions")
+    (leaf / PhysicTranDataset.METADATA_FILE).write_text(json.dumps({
+        "idx": 0, "edit_instruction": "push the box",
+        "prompt": "a box", "state": "s", "transition": "t",
+        "triplet": {}}) + "\n")
+    ds = PhysicTranDataset(str(tmp_path), num_frames=16, height=32, width=32,
+                           key_frame_stride=4)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["prompt"] == "push the box"
+    assert item["image"].size == (32, 32)
+    assert item["edit_image"].size == (32, 32)
+    assert len(item["middle_key_frames"]) >= 1
+    assert item["stitched_image"].size[0] > 0
