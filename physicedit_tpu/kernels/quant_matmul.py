@@ -148,10 +148,15 @@ def w4a8_linear(p: dict, x: jax.Array) -> jax.Array:
     xq, xs = quantize_rows(x2)
     k2, n = p["w4"].shape
 
-    bm = 512 if m % 512 == 0 else (256 if m % 256 == 0 else
-                                   _round_up(max(m, 8), 8))
-    bn = 1024 if n % 1024 == 0 else (256 if n % 256 == 0 else 128)
-    bk2 = 512 if k2 % 512 == 0 else (256 if k2 % 256 == 0 else 128)
+    def pick(dim, candidates, fallback):
+        for c in candidates:
+            if dim % c == 0:
+                return c
+        return fallback
+
+    bm = pick(m, (512, 256), _round_up(max(m, 8), 8))
+    bn = pick(n, (1024, 512, 256), 128)
+    bk2 = pick(k2, (512, 256), 128)
     pad_m = _round_up(m, bm) - m
     if pad_m:
         xq = jnp.pad(xq, ((0, pad_m), (0, 0)))
