@@ -305,3 +305,35 @@ def test_edit_batch_matches_single_edits(tiny_pipe):
     for one, many in zip(singles, batched):
         diff = np.abs(one.astype(np.int16) - np.asarray(many).astype(np.int16))
         assert diff.max() <= 1, diff.max()  # fp reassociation tolerance
+
+
+def test_quantized_pipeline_quality(tiny_pipe):
+    """W8A8 / W4A8 DiT end-to-end: quantized edits stay close to fp32
+    (quantization noise, not garbage), exercising the quantized dispatch
+    through the full denoise scan."""
+    from physicedit_tpu.eval.metrics import psnr
+    from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
+    from physicedit_tpu.ops.quant import quantize_tree
+
+    rng = np.random.default_rng(21)
+    edit = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    kw = dict(edit_image=edit, height=64, width=64, seed=4,
+              num_inference_steps=2, have_text_reasoning=False,
+              edit_image_auto_resize=False)
+    ref = np.asarray(tiny_pipe("slide the green block", **kw), np.float32)
+
+    orig = tiny_pipe.dit_params
+    try:
+        tiny_pipe.dit_params = quantize_tree(orig)
+        out8 = np.asarray(tiny_pipe("slide the green block", **kw), np.float32)
+        tiny_pipe.dit_params = quantize_tree_int4(orig)
+        out4 = np.asarray(tiny_pipe("slide the green block", **kw), np.float32)
+    finally:
+        tiny_pipe.dit_params = orig
+
+    p8, p4 = psnr(ref, out8), psnr(ref, out4)
+    # random tiny weights are the worst case for quantization; the bound
+    # asserts "quantization noise" rather than a broken kernel
+    assert p8 > 20.0, p8
+    assert p4 > 13.0, p4
+    assert p8 >= p4 - 1.0  # int8 should not be worse than int4
