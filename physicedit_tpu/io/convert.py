@@ -214,6 +214,87 @@ def vae_from_torch(sd: dict, dtype=jnp.bfloat16, num_res_blocks: int = 2,
     }
 
 
+def _conv3d_full(sd, prefix, dtype):
+    """Causal Conv3d keeping the FULL temporal kernel (video mode):
+    torch [O, I, kT, kH, kW] -> DHWIO [kT, kH, kW, I, O]."""
+    w = np.asarray(_t(sd, prefix + ".weight", jnp.float32))
+    assert w.ndim == 5, (prefix, w.shape)
+    return {
+        "w": jnp.asarray(np.transpose(w, (2, 3, 4, 1, 0)), dtype=dtype),
+        "b": _t(sd, prefix + ".bias", dtype),
+    }
+
+
+def _vae_res_3d(sd, prefix, dtype):
+    p = {
+        "norm1": _vae_norm(sd, prefix + ".norm1", dtype),
+        "conv1": _conv3d_full(sd, prefix + ".conv1", dtype),
+        "norm2": _vae_norm(sd, prefix + ".norm2", dtype),
+        "conv2": _conv3d_full(sd, prefix + ".conv2", dtype),
+    }
+    if prefix + ".conv_shortcut.weight" in sd:
+        p["shortcut"] = _conv3d_full(sd, prefix + ".conv_shortcut", dtype)
+    return p
+
+
+def _vae_mid_3d(sd, prefix, dtype):
+    return {
+        "res0": _vae_res_3d(sd, prefix + ".resnets.0", dtype),
+        "attn": _vae_attn(sd, prefix + ".attentions.0", dtype),
+        "res1": _vae_res_3d(sd, prefix + ".resnets.1", dtype),
+    }
+
+
+def vae_video_from_torch(sd: dict, dtype=jnp.bfloat16, num_res_blocks: int = 2,
+                         num_stages: int = 4):
+    """Video-mode pytree for models/vae3d.py: causal convs keep their full
+    temporal kernels; spatial-only modules (attention, resample, 1x1x1
+    quant convs) stay 2D per frame.  The reference's `time_conv` weights
+    remain unused — the non-cache video path never applies them
+    (qwen_image_vae.py:259-300; see models/vae3d.py docstring)."""
+    enc_stages = []
+    idx = 0
+    for s in range(num_stages):
+        stage = {"res": [
+            _vae_res_3d(sd, f"encoder.down_blocks.{idx + r}", dtype)
+            for r in range(num_res_blocks)
+        ]}
+        idx += num_res_blocks
+        if s != num_stages - 1:
+            stage["down"] = _conv3d_tap(sd, f"encoder.down_blocks.{idx}.resample.1", dtype)
+            idx += 1
+        enc_stages.append(stage)
+
+    dec_stages = []
+    for s in range(num_stages):
+        stage = {"res": [
+            _vae_res_3d(sd, f"decoder.up_blocks.{s}.resnets.{r}", dtype)
+            for r in range(num_res_blocks + 1)
+        ]}
+        if f"decoder.up_blocks.{s}.upsamplers.0.resample.1.weight" in sd:
+            stage["up"] = _conv3d_tap(sd, f"decoder.up_blocks.{s}.upsamplers.0.resample.1", dtype)
+        dec_stages.append(stage)
+
+    return {
+        "encoder": {
+            "conv_in": _conv3d_full(sd, "encoder.conv_in", dtype),
+            "stages": enc_stages,
+            "mid": _vae_mid_3d(sd, "encoder.mid_block", dtype),
+            "norm_out": _vae_norm(sd, "encoder.norm_out", dtype),
+            "conv_out": _conv3d_full(sd, "encoder.conv_out", dtype),
+        },
+        "decoder": {
+            "conv_in": _conv3d_full(sd, "decoder.conv_in", dtype),
+            "mid": _vae_mid_3d(sd, "decoder.mid_block", dtype),
+            "stages": dec_stages,
+            "norm_out": _vae_norm(sd, "decoder.norm_out", dtype),
+            "conv_out": _conv3d_full(sd, "decoder.conv_out", dtype),
+        },
+        "quant_conv": _conv3d_tap(sd, "quant_conv", dtype),
+        "post_quant_conv": _conv3d_tap(sd, "post_quant_conv", dtype),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Adapter converters (pipelines/helpers.py modules)
 # ---------------------------------------------------------------------------

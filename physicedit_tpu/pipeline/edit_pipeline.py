@@ -696,10 +696,33 @@ class PhysicEditPipeline:
 
         ropes = m_rope.build_rope_tables(img_shapes, s_t,
                                          axes_dim=self.rope_axes)
+
+        extra_tokens = extra_tokens.astype(self.dtype)
+        prompt_emb = jnp.asarray(prompt_emb, self.dtype)
+        txt_mask_j = jnp.asarray(txt_mask)
+        if getattr(self, "mesh", None) is not None:
+            # Data-parallel serving (BASELINE config #5): shard the item
+            # axis over the mesh's `data` axis; GSPMD splits the denoise
+            # across chips with no further code (each chip computes its
+            # items' CFG pair; tensor-parallel weights compose with this).
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+
+            from physicedit_tpu.parallel import sharding as sh
+
+            n_data = self.mesh.shape[sh.DATA_AXIS]
+            if n % n_data == 0:
+                dp = NamedSharding(self.mesh, PS(sh.DATA_AXIS))
+                noise = jax.device_put(noise, dp)
+                extra_tokens = jax.device_put(extra_tokens, dp)
+                prompt_emb = jax.device_put(prompt_emb, dp)
+                txt_mask_j = jax.device_put(txt_mask_j, dp)
+                if special_idx is not None:
+                    special_idx = jax.device_put(special_idx, dp)
+
         latents = denoise(
             self.dit_params, self.dit_cfg, noise,
-            extra_tokens.astype(self.dtype),
-            jnp.asarray(prompt_emb, self.dtype), jnp.asarray(txt_mask),
+            extra_tokens,
+            prompt_emb, txt_mask_j,
             *(jnp.asarray(r) for r in ropes),
             jnp.asarray(sched.sigmas), jnp.asarray(sched.sigmas_next),
             jnp.asarray(sched.timesteps), jnp.asarray(float(cfg_scale)),

@@ -43,3 +43,24 @@ def test_vl_text_specs_cover_tree():
     flat_p = jax.tree_util.tree_structure(params)
     flat_s = jax.tree_util.tree_structure(specs)
     assert flat_p == flat_s
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_data_parallel_edit_batch_matches_unsharded():
+    """BASELINE config #5 end state: batched edits data-parallel over the
+    mesh's `data` axis (+ tensor-parallel weights) match unsharded runs."""
+    rng = np.random.default_rng(3)
+    ims = [Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+           for _ in range(2)]
+    prompts = ["tilt the lamp", "move the red box"]
+    kw = dict(height=64, width=64, seeds=[4, 8], num_inference_steps=2,
+              have_text_reasoning=False)
+
+    pipe = build_tiny_pipeline()
+    ref = [np.asarray(o) for o in pipe.edit_batch(prompts, ims, **kw)]
+
+    mesh = sh.create_mesh(2, 2)
+    pipe.shard(mesh)
+    outs = [np.asarray(o) for o in pipe.edit_batch(prompts, ims, **kw)]
+    for a, b in zip(ref, outs):
+        assert np.mean(np.abs(a.astype(np.float32) - b.astype(np.float32))) < 1.0
