@@ -140,6 +140,219 @@ def _fixedmax_bnsd(q, k, v, key_bias, block_q, block_k):
     )(q, k, v, key_bias)
 
 
+def _fixedmax_kernel_lse(q_ref, k_ref, v_ref, bias_ref, out_ref, l_ref,
+                         l_scr, acc_scr, *, scale_log2e, bk_total):
+    """Forward variant that also emits the softmax denominator l (needed
+    by the backward kernels)."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p = jnp.exp2(jnp.minimum(s * scale_log2e + bias_ref[0, 0][None, :], CLAMP))
+    l_scr[:, :1] += jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] += jax.lax.dot_general(p.astype(v.dtype), v,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(ki == bk_total - 1)
+    def _finish():
+        out_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(out_ref.dtype)
+        l_ref[0, 0] = l_scr[:, :8]
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _fixedmax_bnsd_lse(q, k, v, key_bias, block_q, block_k):
+    b, n, sq, d = q.shape
+    sk = k.shape[2]
+    nq, nk = sq // block_q, sk // block_k
+    kernel = functools.partial(_fixedmax_kernel_lse,
+                               scale_log2e=LOG2E / (d ** 0.5), bk_total=nk)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b_, h, qi, ki: (b_, 0, ki)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)),
+            # TPU tiling needs >=(8,128)-compatible trailing dims: l rides
+            # an 8-lane tail axis (value replicated; lane 0 is used)
+            pl.BlockSpec((1, 1, block_q, 8), lambda b_, h, qi, ki: (b_, h, qi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, n, sq, 8), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+    )(q, k, v, key_bias)
+
+
+def _fm_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dd_ref, l_ref,
+                      dq_ref, dq_scr, *, scale_log2e, scale_nat, bk_total):
+    """dq = (P * (g v^T - D)) @ k * scale  (P recomputed per tile)."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    g = g_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    sig = s * scale_log2e + bias_ref[0, 0][None, :]
+    p = jnp.exp2(jnp.minimum(sig, CLAMP))
+    p_n = p * (1.0 / l_ref[0, 0, :, 0])[:, None]     # softmax weights P
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    da = jnp.where(sig < CLAMP, p_n * (dp - dd_ref[0, 0, :, 0][:, None]), 0.0)
+    dq_scr[:] += jax.lax.dot_general(da.astype(k.dtype), k,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(ki == bk_total - 1)
+    def _finish():
+        dq_ref[0, 0] = (dq_scr[:] * scale_nat).astype(dq_ref.dtype)
+
+
+def _fm_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dd_ref, l_ref,
+                       dk_ref, dv_ref, dk_scr, dv_scr,
+                       *, scale_log2e, scale_nat, bq_total):
+    """dv = P^T g;  dk = (P * (g v^T - D))^T @ q * scale."""
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    g = g_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    sig = s * scale_log2e + bias_ref[0, 0][None, :]
+    p = jnp.exp2(jnp.minimum(sig, CLAMP))
+    p_n = p * (1.0 / l_ref[0, 0, :, 0])[:, None]
+    dv_scr[:] += jax.lax.dot_general(p_n.astype(g.dtype), g,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    da = jnp.where(sig < CLAMP, p_n * (dp - dd_ref[0, 0, :, 0][:, None]), 0.0)
+    dk_scr[:] += jax.lax.dot_general(da.astype(q.dtype), q,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(qi == bq_total - 1)
+    def _finish():
+        dk_ref[0, 0] = (dk_scr[:] * scale_nat).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _fm_bwd(q, k, v, key_bias, g, dd, l, block_q, block_k):
+    b, n, sq, d = q.shape
+    sk = k.shape[2]
+    nq, nk = sq // block_q, sk // block_k
+    scale_log2e = LOG2E / (d ** 0.5)
+    scale_nat = 1.0 / (d ** 0.5)
+
+    dq = pl.pallas_call(
+        functools.partial(_fm_bwd_dq_kernel, scale_log2e=scale_log2e,
+                          scale_nat=scale_nat, bk_total=nk),
+        grid=(b, n, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b_, h, qi, ki: (b_, 0, ki)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b_, h, qi, ki: (b_, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b_, h, qi, ki: (b_, h, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b_, h, qi, ki: (b_, h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+    )(q, k, v, key_bias, g, dd, l)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_fm_bwd_dkv_kernel, scale_log2e=scale_log2e,
+                          scale_nat=scale_nat, bq_total=nq),
+        grid=(b, n, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h, ki, qi: (b_, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, ki, qi: (b_, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, ki, qi: (b_, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b_, h, ki, qi: (b_, 0, ki)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h, ki, qi: (b_, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b_, h, ki, qi: (b_, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b_, h, ki, qi: (b_, h, qi, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, ki, qi: (b_, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, ki, qi: (b_, h, ki, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((b, n, sk, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+    )(q, k, v, key_bias, g, dd, l)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fixedmax_diff(q, k, v, key_bias, block_q, block_k):
+    """Differentiable fixed-max attention (padded shapes; key_bias is a
+    non-trainable mask term — its cotangent is zero)."""
+    out, _ = _fixedmax_bnsd_lse(q, k, v, key_bias, block_q, block_k)
+    return out
+
+
+def _fixedmax_diff_fwd(q, k, v, key_bias, block_q, block_k):
+    out, l = _fixedmax_bnsd_lse(q, k, v, key_bias, block_q, block_k)
+    return out, (q, k, v, key_bias, out, l)
+
+
+def _fixedmax_diff_bwd(block_q, block_k, res, g):
+    q, k, v, key_bias, out, l = res
+    dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    dd = jnp.broadcast_to(dd[..., None], dd.shape + (8,))
+    dq, dk, dv = _fm_bwd(q, k, v, key_bias, g, dd, l, block_q, block_k)
+    return dq, dk, dv, jnp.zeros_like(key_bias)
+
+
+_fixedmax_diff.defvjp(_fixedmax_diff_fwd, _fixedmax_diff_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def _fixedmax_bnsd_bias(q, k, v, key_bias, bias, block_q, block_k):
     """Fixed-max with [B, S_q, S_k] additive bias (already scaled by log2e)."""
@@ -344,8 +557,8 @@ def flash_attention_bnsd(q, k, v, key_mask=None, bias=None,
             out = _fixedmax_bnsd_bias(qt, kt, vt, key_bias, bias2d,
                                       block_q=block_q, block_k=block_k)
         else:
-            out = _fixedmax_bnsd(qt, kt, vt, key_bias,
-                                 block_q=block_q, block_k=block_k)
+            # differentiable path (custom VJP with Pallas backward kernels)
+            out = _fixedmax_diff(qt, kt, vt, key_bias, block_q, block_k)
     elif bias is not None:
         bias_p = jnp.pad(bias.astype(jnp.float32),
                          ((0, 0), (0, pad_q), (0, pad_k)))

@@ -29,6 +29,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -134,19 +135,152 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# ---------------------------------------------------------------------------
+# Backward: dx = (g * w_scale) @ unpack(w4)^T   (straight-through estimator
+# through the activation quantizer; weights are frozen so their cotangents
+# are zero).  Contraction is over N; the lo/hi nibble planes produce the
+# first/second GLOBAL halves of K, which are not contiguous per tile — so
+# the kernel emits two [M, K/2] planes that are concatenated outside.
+# ---------------------------------------------------------------------------
+
+def _w4_bwd_dx_kernel(g_ref, wp_ref, lo_ref, hi_ref, lo_scr, hi_scr, *, nn):
+    ni = pl.program_id(2)
+
+    @pl.when(ni == 0)
+    def _init():
+        lo_scr[:] = jnp.zeros_like(lo_scr)
+        hi_scr[:] = jnp.zeros_like(hi_scr)
+
+    g = g_ref[:]                          # [bm, bn] bf16 (w_scale folded in)
+    wp = wp_ref[:].astype(jnp.int32)      # [bk2, bn]
+    w_lo = ((wp << 28) >> 28).astype(g.dtype)
+    w_hi = (wp >> 4).astype(g.dtype)
+    lo_scr[:] += jax.lax.dot_general(g, w_lo, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    hi_scr[:] += jax.lax.dot_general(g, w_hi, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(ni == nn - 1)
+    def _finish():
+        lo_ref[:] = lo_scr[:].astype(lo_ref.dtype)
+        hi_ref[:] = hi_scr[:].astype(hi_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_m", "block_n", "block_k2", "out_dtype"))
+def _w4_bwd_dx(g_scaled, packed, out_dtype, block_m, block_n, block_k2):
+    """g_scaled: [M, N]; packed: [K/2, N] -> dx [M, K] in out_dtype."""
+    m, n = g_scaled.shape
+    k2 = packed.shape[0]
+    nm, nk2, nn = m // block_m, k2 // block_k2, n // block_n
+    kernel = functools.partial(_w4_bwd_dx_kernel, nn=nn)
+    lo, hi = pl.pallas_call(
+        kernel,
+        grid=(nm, nk2, nn),
+        in_specs=[
+            pl.BlockSpec((block_m, block_n), lambda i, kk, j: (i, j)),
+            pl.BlockSpec((block_k2, block_n), lambda i, kk, j: (kk, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_m, block_k2), lambda i, kk, j: (i, kk)),
+            pl.BlockSpec((block_m, block_k2), lambda i, kk, j: (i, kk)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, k2), out_dtype),
+            jax.ShapeDtypeStruct((m, k2), out_dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_m, block_k2), jnp.float32),
+            pltpu.VMEM((block_m, block_k2), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(g_scaled, packed)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def _zero_cotangents(tree):
+    import jax.dtypes
+
+    def z(a):
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            return jnp.zeros_like(a)
+        return np.zeros(a.shape, dtype=jax.dtypes.float0)
+
+    return jax.tree_util.tree_map(z, tree)
+
+
+@jax.custom_vjp
 def w4a8_linear(p: dict, x: jax.Array) -> jax.Array:
     """y = dequant(int8(x) @ unpack_int4(w)) (+ b); returns x.dtype.
 
     p: {'w4': [K/2, N] int8, 'w_scale': [N] f32, optional 'b': [N]}.
     Arbitrary leading dims on x; M and N padded to block multiples.
+    Differentiable in x (straight-through; weights are frozen) — makes
+    the W4-resident 20B DiT trainable (LoRA) on one chip.
     """
+    return _w4a8_linear_impl(p, x)
+
+
+def _w4a8_linear_fwd(p, x):
+    return _w4a8_linear_impl(p, x), (p,)
+
+
+def _w4a8_linear_bwd(res, g):
+    (p,) = res
+    *lead, n = g.shape
+    k = 2 * p["w4"].shape[0]
+    x_dtype = g.dtype
+    m = 1
+    for s in lead:
+        m *= s
+    if (k // 2) % 128 or n % 128:
+        dx = (g.reshape(m, n).astype(jnp.float32)
+              @ _dequant_w4(p).T).reshape(*lead, k).astype(x_dtype)
+        return _zero_cotangents(p), dx
+    g2 = (g.reshape(m, n).astype(jnp.float32)
+          * p["w_scale"].astype(jnp.float32)).astype(jnp.bfloat16)
+    bm = 512 if m % 512 == 0 else (256 if (m % 256 == 0 or m >= 256)
+                                   else _round_up(max(m, 8), 8))
+    bn = 1024 if n % 1024 == 0 else (512 if n % 512 == 0 else
+                                     (256 if n % 256 == 0 else 128))
+    bk2 = 512 if p["w4"].shape[0] % 512 == 0 else (
+        256 if p["w4"].shape[0] % 256 == 0 else 128)
+    pad_m = _round_up(m, bm) - m
+    if pad_m:
+        g2 = jnp.pad(g2, ((0, pad_m), (0, 0)))
+    dx = _w4_bwd_dx(g2, p["w4"], jnp.dtype(x_dtype), bm, bn, bk2)
+    if pad_m:
+        dx = dx[:m]
+    return _zero_cotangents(p), dx.reshape(*lead, k).astype(x_dtype)
+
+
+w4a8_linear.defvjp(_w4a8_linear_fwd, _w4a8_linear_bwd)
+
+
+def _dequant_w4(p):
+    """XLA-side unpack for shapes below Mosaic's 128-lane tile minimum."""
+    wp = p["w4"].astype(jnp.int32)
+    w_lo = ((wp << 28) >> 28)
+    w_hi = (wp >> 4)
+    return (jnp.concatenate([w_lo, w_hi], axis=0).astype(jnp.float32)
+            * p["w_scale"].astype(jnp.float32))
+
+
+def _w4a8_linear_impl(p: dict, x: jax.Array) -> jax.Array:
     *lead, k = x.shape
     m = 1
     for s in lead:
         m *= s
     x2 = x.reshape(m, k)
-    xq, xs = quantize_rows(x2)
     k2, n = p["w4"].shape
+    if k2 % 128 or n % 128:
+        # tiny layer below the Mosaic lane minimum: dense XLA fallback
+        out = x2.astype(jnp.float32) @ _dequant_w4(p)
+        if "b" in p:
+            out = out + p["b"].astype(jnp.float32)
+        return out.reshape(*lead, n).astype(x.dtype)
+    xq, xs = quantize_rows(x2)
 
     def pick(dim, candidates, fallback):
         for c in candidates:
@@ -154,7 +288,9 @@ def w4a8_linear(p: dict, x: jax.Array) -> jax.Array:
                 return c
         return fallback
 
-    bm = pick(m, (512, 256), _round_up(max(m, 8), 8))
+    # large non-divisible M pads up to 256-row blocks (a full-M block
+    # would blow the 16MB VMEM budget); tiny M rounds to sublane multiples
+    bm = pick(m, (512, 256), 256 if m >= 256 else _round_up(max(m, 8), 8))
     bn = pick(n, (1024, 512, 256), 128)
     bk2 = pick(k2, (512, 256), 128)
     pad_m = _round_up(m, bm) - m

@@ -92,3 +92,59 @@ def test_fixedmax_clamp_guards_large_logits():
     out = fa.flash_attention_bnsd(q, q, q, block_q=128, block_k=128,
                                   variant="fixedmax")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fixedmax_gradients_match_xla():
+    """Custom-VJP backward kernels vs XLA autodiff through sdpa."""
+    rng = np.random.default_rng(7)
+    b, n, s, d = 1, 2, 256, 128
+    q = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    mask = np.ones((b, s), bool)
+    mask[0, 200:] = False
+    mask_j = jnp.asarray(mask)
+    gsum = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        o = fa.flash_attention_bnsd(q, k, v, key_mask=mask_j,
+                                    block_q=128, block_k=128,
+                                    variant="fixedmax")
+        return jnp.sum(o * gsum)
+
+    from physicedit_tpu.ops.attention import sdpa_bnsd
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa_bnsd(q, k, v, key_mask=mask_j) * gsum)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3, err_msg=f"d{name}")
+
+
+def test_fixedmax_gradients_ragged_padding():
+    """Gradients through the padded (non-block-multiple) wrapper path:
+    padded key/query tail must receive zero gradient contributions."""
+    rng = np.random.default_rng(8)
+    b, n, s, d = 1, 1, 200, 128  # pads to 256
+    q = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+
+    def loss(q, k, v):
+        o = fa.flash_attention_bnsd(q, k, v, block_q=128, block_k=128,
+                                    variant="fixedmax")
+        return jnp.sum(o ** 2)
+
+    from physicedit_tpu.ops.attention import sdpa_bnsd
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa_bnsd(q, k, v) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)

@@ -80,3 +80,48 @@ def test_quantize_tree_int4_stacked_and_dispatch():
     rel = np.abs(np.asarray(out) - np.asarray(exact)).mean() \
         / np.abs(np.asarray(exact)).mean()
     assert out.shape == (4, 128) and rel < 0.2
+
+
+def test_w4a8_backward_straight_through():
+    """dx through w4a8_linear matches autodiff of x @ dequant(W) (the
+    straight-through estimator); frozen-weight cotangents are zero-typed."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(3, 16, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+    p = dict(qm.quantize_weight_int4(w))
+    p["b"] = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    gsum = jnp.asarray(rng.normal(size=(3, 16, 128)).astype(np.float32))
+
+    def loss(x):
+        return jnp.sum(qm.w4a8_linear(p, x) * gsum)
+
+    dx = jax.grad(loss)(x)
+    w_deq = jnp.asarray(_ref_w4_dequant(w))
+
+    def loss_ref(x):
+        return jnp.sum((x @ w_deq + p["b"]) * gsum)
+
+    dx_ref = jax.grad(loss_ref)(x)
+    # backward runs in bf16 (standard training precision): ~0.5% relative
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=2e-2, atol=8e-2)
+
+
+def test_w4a8_differentiable_in_composition():
+    """LoRA-style composition: grads flow to the trainable factors through
+    the frozen W4 layer in a deeper chain."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(8, 256)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    p1 = qm.quantize_weight_int4(w1)
+    A = jnp.asarray(rng.normal(size=(256, 4)).astype(np.float32) * 0.1)
+    B = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32) * 0.1)
+
+    def loss(A, B):
+        h = qm.w4a8_linear(p1, x) + (x @ A) @ B
+        h = jax.nn.gelu(h)
+        return jnp.sum(qm.w4a8_linear(p1, h) ** 2)
+
+    gA, gB = jax.grad(loss, argnums=(0, 1))(A, B)
+    assert np.isfinite(np.asarray(gA)).all() and np.abs(np.asarray(gA)).max() > 0
+    assert np.isfinite(np.asarray(gB)).all() and np.abs(np.asarray(gB)).max() > 0

@@ -212,3 +212,33 @@ def test_direct_distill_loss(trainer):
                                emb, jnp.ones((1, s_t), bool), ropes, sched,
                                target)
     assert np.isfinite(float(loss))
+
+
+def test_train_step_with_w4_frozen_dit(trainer, monkeypatch):
+    """Single-chip training path: frozen DiT in packed int4, LoRA trains
+    through the straight-through custom VJP (kernels/quant_matmul.py)."""
+    import functools
+    import jax
+    from jax.experimental import pallas as pl
+    from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
+
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+
+    t = trainer
+    batch = t.collate([t.preprocess(t.dataset[i]) for i in (0, 1)])
+    frozen_q = {"dit": quantize_tree_int4(t.frozen["dit"], min_size=1 << 10)}
+    from physicedit_tpu.train.train_step import make_optimizer, train_step
+    from physicedit_tpu.sampling import flow_match as fm
+
+    optimizer = make_optimizer(lr=1e-3)
+    opt_state = optimizer.init(t.trainable)
+    t_min, t_max = fm.adapter_t_range()
+    tr, _, metrics = train_step(
+        t.trainable, frozen_q, opt_state, batch, t.pipe.dit_cfg, optimizer,
+        t_min, t_max, use_remat=True)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss)
+    # LoRA B starts at 0 and must move after one step
+    leaf = jax.tree_util.tree_leaves(tr["lora"])[-1]
+    assert float(np.abs(np.asarray(leaf)).max()) > 0
