@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume_from", type=str, default=None)
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quantize_frozen", choices=("none", "w4"), default="none",
+                   help="w4: pack the frozen DiT to int4 so the 20B model "
+                        "LoRA-trains on one 16GB chip (the TPU equivalent "
+                        "of the reference's single-GPU offload training)")
     return p
 
 
@@ -73,7 +77,8 @@ def main(argv=None):
         eval_every_n_steps=args.eval_every_n_steps,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         batch_size=args.batch_size,
-        height=args.height, width=args.width, seed=args.seed)
+        height=args.height, width=args.width, seed=args.seed,
+        quantize_frozen=args.quantize_frozen)
 
     mesh = None
     if args.data_parallel * args.model_parallel > 1:

@@ -54,12 +54,25 @@ class TrainConfig:
     txt_len_bucket: int = 128   # prompt embeddings padded to multiples of this
     use_remat: bool = True
     seed: int = 0
+    # 'none' | 'w4': quantize the FROZEN DiT to packed int4 so the full
+    # 20B model trains (LoRA) on one 16 GB chip - the TPU replacement for
+    # the reference's single-GPU offload training (train_singlegpu.sh).
+    # Gradients flow through the straight-through custom VJP
+    # (kernels/quant_matmul.py); trainable params stay full precision.
+    quantize_frozen: str = "none"
+    quantize_min_size: int = 1 << 16   # leave small layers full precision
 
 
 def init_trainable(pipe, cfg: TrainConfig):
-    """Fresh trainable surface: LoRA factors + the PhysicEdit adapters."""
+    """Fresh trainable surface: LoRA factors + the PhysicEdit adapters.
+
+    Adapter arrays are COPIED from the pipeline: the jitted train_step
+    donates trainable buffers, and donating the pipeline's own adapter
+    arrays would delete them out from under later pipeline use.
+    """
     keys = iter(jax.random.split(jax.random.PRNGKey(cfg.seed), 16))
-    adapters = dict(pipe.adapters)
+    adapters = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                      dict(pipe.adapters))
     adapters.setdefault("visual_thinking_adapter", m_ad.init_dual_adapter_params(
         next(keys), pipe.dit_cfg.txt_in_dim, pipe.dit_cfg.txt_in_dim))
     adapters.setdefault("dino_resampler", m_ad.init_perceiver_params(
@@ -104,6 +117,13 @@ class Trainer:
         self.start_epoch = 0
         self.skip_batches = 0
         self.frozen = {"dit": pipe.dit_params}
+        if cfg.quantize_frozen == "w4":
+            from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
+
+            self.frozen = {"dit": quantize_tree_int4(
+                pipe.dit_params, min_size=cfg.quantize_min_size)}
+        elif cfg.quantize_frozen != "none":
+            raise ValueError(f"unknown quantize_frozen: {cfg.quantize_frozen}")
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -229,16 +229,33 @@ def test_train_step_with_w4_frozen_dit(trainer, monkeypatch):
     batch = t.collate([t.preprocess(t.dataset[i]) for i in (0, 1)])
     frozen_q = {"dit": quantize_tree_int4(t.frozen["dit"], min_size=1 << 10)}
     from physicedit_tpu.train.train_step import make_optimizer, train_step
+    from physicedit_tpu.train.trainer import init_trainable
     from physicedit_tpu.sampling import flow_match as fm
 
+    # fresh trainables: earlier tests' train_step calls DONATE the
+    # fixture's buffers
+    trainable = init_trainable(t.pipe, t.cfg)
     optimizer = make_optimizer(lr=1e-3)
-    opt_state = optimizer.init(t.trainable)
+    opt_state = optimizer.init(trainable)
     t_min, t_max = fm.adapter_t_range()
     tr, _, metrics = train_step(
-        t.trainable, frozen_q, opt_state, batch, t.pipe.dit_cfg, optimizer,
+        trainable, frozen_q, opt_state, batch, t.pipe.dit_cfg, optimizer,
         t_min, t_max, use_remat=True)
     loss = float(metrics["loss"])
     assert np.isfinite(loss)
     # LoRA B starts at 0 and must move after one step
     leaf = jax.tree_util.tree_leaves(tr["lora"])[-1]
     assert float(np.abs(np.asarray(leaf)).max()) > 0
+
+
+def test_trainer_quantize_frozen_config():
+    pipe = build_tiny_pipeline()
+    cfg = TrainConfig(output_path="/tmp/x", lora_rank=2, height=64, width=64,
+                      txt_len_bucket=64, quantize_frozen="w4",
+                      quantize_min_size=1 << 10)
+    t = Trainer(pipe, SyntheticDataset(), cfg)
+    leaves = {k for k in t.frozen["dit"]["blocks"]["attn"]["img_qkv"]}
+    assert "w4" in leaves and "w" not in leaves
+    with pytest.raises(ValueError):
+        Trainer(pipe, SyntheticDataset(),
+                TrainConfig(output_path="/tmp/x", quantize_frozen="fp8"))
