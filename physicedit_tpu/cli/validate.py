@@ -71,6 +71,10 @@ def main(argv=None):
     parser.add_argument("--no_text_reasoning", action="store_true")
     parser.add_argument("--attn_impl", type=str, default=None,
                         choices=["xla", "pallas"])
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["int8", "int4"],
+                        help="int4: whole pipeline resident on one 16GB "
+                             "chip (docs/SERVING.md); int8: W8A8")
     args = parser.parse_args(argv)
 
     tokenizer_path = args.tokenizer_path or os.path.join(
@@ -79,7 +83,7 @@ def main(argv=None):
         find_model_files(args.base_model_path),
         tokenizer_path=tokenizer_path if os.path.isdir(tokenizer_path) else None,
         attn_impl=args.attn_impl or default_impl(),
-        finetuned_path=args.lora_path)
+        finetuned_path=args.lora_path, quantize=args.quantize)
 
     image = resize_image(Image.open(args.image_path).convert("RGB"))
     out = pipe(

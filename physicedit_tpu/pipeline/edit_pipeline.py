@@ -140,6 +140,18 @@ class PhysicEditPipeline:
                 kw["dit_params"] = quantize_tree(kw["dit_params"])
             if "text_params" in kw:
                 kw["text_params"] = quantize_tree(kw["text_params"])
+        elif quantize in ("int4", "w4"):
+            # Packed-int4 weights (kernels/quant_matmul.py): the whole
+            # 20B DiT + 7B VL fit ONE 16 GB chip HBM-resident — the
+            # single-chip deployment config (docs/SERVING.md).
+            from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
+
+            if "dit_params" in kw:
+                kw["dit_params"] = quantize_tree_int4(kw["dit_params"])
+            if "text_params" in kw:
+                kw["text_params"] = quantize_tree_int4(kw["text_params"])
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode: {quantize!r}")
 
         pipe = cls(**kw)
         if tokenizer_path is not None:
