@@ -79,7 +79,7 @@ def _fixedmax_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, l_scr, acc_scr,
 
     @pl.when(ki == bk_total - 1)
     def _finish():
-        out_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(out_ref.dtype)
+        out_ref[0, 0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(out_ref.dtype)
 
 
 def _fixedmax_kernel_bias2d(q_ref, k_ref, v_ref, bias_ref, kbias_ref, out_ref,
@@ -107,7 +107,7 @@ def _fixedmax_kernel_bias2d(q_ref, k_ref, v_ref, bias_ref, kbias_ref, out_ref,
 
     @pl.when(ki == bk_total - 1)
     def _finish():
-        out_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(out_ref.dtype)
+        out_ref[0, 0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
@@ -164,7 +164,7 @@ def _fixedmax_kernel_lse(q_ref, k_ref, v_ref, bias_ref, out_ref, l_ref,
 
     @pl.when(ki == bk_total - 1)
     def _finish():
-        out_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(out_ref.dtype)
+        out_ref[0, 0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(out_ref.dtype)
         l_ref[0, 0] = l_scr[:, :8]
 
 
@@ -220,7 +220,7 @@ def _fm_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dd_ref, l_ref,
                             preferred_element_type=jnp.float32)
     sig = s * scale_log2e + bias_ref[0, 0][None, :]
     p = jnp.exp2(jnp.minimum(sig, CLAMP))
-    p_n = p * (1.0 / l_ref[0, 0, :, 0])[:, None]     # softmax weights P
+    p_n = p * (1.0 / jnp.maximum(l_ref[0, 0, :, 0], 1e-30))[:, None]     # softmax weights P
     dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     da = jnp.where(sig < CLAMP, p_n * (dp - dd_ref[0, 0, :, 0][:, None]), 0.0)
@@ -252,7 +252,7 @@ def _fm_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dd_ref, l_ref,
                             preferred_element_type=jnp.float32)
     sig = s * scale_log2e + bias_ref[0, 0][None, :]
     p = jnp.exp2(jnp.minimum(sig, CLAMP))
-    p_n = p * (1.0 / l_ref[0, 0, :, 0])[:, None]
+    p_n = p * (1.0 / jnp.maximum(l_ref[0, 0, :, 0], 1e-30))[:, None]
     dv_scr[:] += jax.lax.dot_general(p_n.astype(g.dtype), g,
                                      (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
@@ -417,7 +417,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
 
     @pl.when(ki == bk_total - 1)
     def _finish():
-        out_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(out_ref.dtype)
+        out_ref[0, 0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
@@ -487,7 +487,7 @@ def _flash_kernel_bias(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref,
 
     @pl.when(ki == bk_total - 1)
     def _finish():
-        out_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(out_ref.dtype)
+        out_ref[0, 0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))

@@ -47,14 +47,21 @@ def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("impl",))
-def attention(q, k, v, key_mask=None, bias=None, impl: str = "xla"):
+@functools.partial(jax.jit, static_argnames=("impl", "variant"))
+def attention(q, k, v, key_mask=None, bias=None, impl: str = "xla",
+              variant: str = "fixedmax"):
+    """variant (pallas only): "fixedmax" assumes BOUNDED logits (true for
+    the DiT, which RMS-norms q/k — kernels/flash_attention.py docstring);
+    callers with unnormalised q/k whose logits can exceed ~70 nats must
+    pass "online" (the running-max kernel), or CLAMP will flatten the
+    softmax across extreme scores."""
     if impl == "xla":
         return sdpa_xla(q, k, v, key_mask=key_mask, bias=bias)
     if impl == "pallas":
         from physicedit_tpu.kernels.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, key_mask=key_mask, bias=bias)
+        return flash_attention(q, k, v, key_mask=key_mask, bias=bias,
+                               variant=variant)
     raise ValueError(f"unknown attention impl: {impl}")
 
 

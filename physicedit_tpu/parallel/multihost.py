@@ -27,13 +27,19 @@ def initialize_distributed(coordinator_address: str | None = None,
     """Start the JAX distributed runtime (multi-controller).
 
     On TPU pods the three arguments auto-detect from the environment;
-    pass them explicitly for manual launches.  No-op if already
-    initialised or if this is a single-process run with no coordinator.
+    pass them explicitly for manual launches.  No-op for single-process
+    runs with no coordinator, and tolerant of repeated calls.
+
+    NB: must run before any other JAX API touches the backend — even
+    ``jax.process_count()`` would initialise it, which is why this guard
+    checks only the arguments and the distributed client state.
     """
-    if jax.process_count() > 1:
-        return  # already initialised
     if coordinator_address is None and num_processes in (None, 1):
         return  # single-process run: nothing to do
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialised
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -722,6 +722,13 @@ class PhysicEditPipeline:
             from physicedit_tpu.parallel import sharding as sh
 
             n_data = self.mesh.shape[sh.DATA_AXIS]
+            if n % n_data != 0:
+                import warnings
+
+                warnings.warn(
+                    f"edit_batch: {n} items do not divide the data axis "
+                    f"({n_data}); running WITHOUT data-parallel placement "
+                    f"- pad the batch to a multiple of {n_data}")
             if n % n_data == 0:
                 dp = NamedSharding(self.mesh, PS(sh.DATA_AXIS))
                 noise = jax.device_put(noise, dp)

@@ -270,21 +270,9 @@ class ImageEditDataset:
                     prompt = txt.read_text().strip() if txt.exists() else ""
                     records.append({"image": str(p), "prompt": prompt})
             return records
-        mp = Path(metadata_path)
-        if mp.suffix == ".jsonl":
-            for line in mp.read_text().splitlines():
-                if line.strip():
-                    records.append(json.loads(line))
-        elif mp.suffix == ".json":
-            records = json.loads(mp.read_text())
-        elif mp.suffix == ".csv":
-            import csv
+        from physicedit_tpu.train.unified_dataset import load_metadata_records
 
-            with mp.open() as f:
-                records = list(csv.DictReader(f))
-        else:
-            raise ValueError(f"unsupported metadata format: {mp.suffix}")
-        return records
+        return load_metadata_records(metadata_path)
 
     def __len__(self):
         return len(self.records) * self.repeat
@@ -374,7 +362,9 @@ class VideoDataset:
                  data_file_keys: tuple = ("video",), repeat: int = 1):
         from physicedit_tpu.train import unified_dataset as U
 
-        self.base = Path(base_path) if base_path else None
+        if base_path is None:
+            raise ValueError("VideoDataset requires base_path")
+        self.base = Path(base_path)
         self.data_file_keys = tuple(data_file_keys)
         self.repeat = repeat
         self.loader = U.UnifiedDataset.default_video_operator(
@@ -406,16 +396,9 @@ class VideoDataset:
     def _load_metadata(self, metadata_path):
         if metadata_path is None:
             return self._generate_metadata()
-        mp = Path(metadata_path)
-        if mp.suffix == ".json":
-            return json.loads(mp.read_text())
-        if mp.suffix == ".jsonl":
-            return [json.loads(l) for l in mp.read_text().splitlines()
-                    if l.strip()]
-        import csv
+        from physicedit_tpu.train.unified_dataset import load_metadata_records
 
-        with mp.open(newline="") as f:
-            return list(csv.DictReader(f))
+        return load_metadata_records(metadata_path)
 
     def __len__(self):
         return len(self.records) * self.repeat

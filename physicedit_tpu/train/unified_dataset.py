@@ -20,7 +20,7 @@ import os
 
 import numpy as np
 
-IMAGE_EXTS = ("jpg", "jpeg", "png", "webp")
+IMAGE_EXTS = ("jpg", "jpeg", "png", "webp", "bmp")
 VIDEO_EXTS = ("mp4", "avi", "mov", "wmv", "mkv", "flv", "webm")
 
 
@@ -167,6 +167,11 @@ class LoadVideo(DataProcessingOperator):
                     break
                 frames.append(self.frame_processor(
                     Image.fromarray(frame).convert("RGB")))
+            if len(frames) < n:
+                # count_frames() was unavailable/wrong and the file ran
+                # short: re-fit so the divisibility contract still holds
+                frames = frames[: _fit_num_frames(len(frames), self.num_frames,
+                                                  self.tdiv, self.trem)]
             return frames
         finally:
             reader.close()
@@ -249,6 +254,24 @@ class LoadCachedTensors(DataProcessingOperator):
             raise ValueError(f"cannot load cached file {path}: {e}") from e
 
 
+def load_metadata_records(metadata_path) -> list:
+    """json / jsonl / csv metadata -> list of dict rows (the shared parser
+    for UnifiedDataset, VideoDataset and ImageEditDataset)."""
+    path = str(metadata_path)
+    if path.endswith(".json"):
+        with open(path) as f:
+            return json.load(f)
+    if path.endswith(".jsonl"):
+        with open(path) as f:
+            return [json.loads(l) for l in f if l.strip()]
+    if path.endswith(".csv"):
+        import csv
+
+        with open(path, newline="") as f:
+            return list(csv.DictReader(f))
+    raise ValueError(f"unsupported metadata format: {path}")
+
+
 class UnifiedDataset:
     """Metadata-driven dataset applying an operator pipeline per file key
     (unified_dataset.py:230-328).
@@ -313,17 +336,8 @@ class UnifiedDataset:
     def _load_metadata(self, metadata_path):
         if metadata_path is None:
             self._search_cached(self.base_path)
-        elif metadata_path.endswith(".json"):
-            with open(metadata_path) as f:
-                self.data = json.load(f)
-        elif metadata_path.endswith(".jsonl"):
-            with open(metadata_path) as f:
-                self.data = [json.loads(l) for l in f if l.strip()]
-        else:  # csv
-            import csv
-
-            with open(metadata_path, newline="") as f:
-                self.data = list(csv.DictReader(f))
+        else:
+            self.data = load_metadata_records(metadata_path)
 
     def __getitem__(self, i):
         if self.load_from_cache:

@@ -148,3 +148,16 @@ def test_fixedmax_gradients_ragged_padding():
     for a, b_ in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_fixedmax_fully_masked_row_is_finite_zero():
+    """A row whose keys are ALL masked returns zeros (documented invariant:
+    finite, discarded by the caller) instead of 0/0 NaN."""
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(size=(1, 1, 128, 128)).astype(np.float32))
+    mask = jnp.zeros((1, 128), bool)
+    out = fa.flash_attention_bnsd(q, q, q, key_mask=mask,
+                                  block_q=128, block_k=128,
+                                  variant="fixedmax")
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
