@@ -81,7 +81,17 @@ KNOWN_HASHES = {
     "ed4ea5824d55ec3107b09815e318123a": "qwen_image_vae",
     "073bce9cf969e317e5662cd570c3e79c": "qwen_image_blockwise_controlnet",
     "a9e54e480a628f0b956a688a81c33bab": "qwen_image_blockwise_controlnet_inpaint",
+    # Legacy-zoo checkpoints the reference registry can identify but that
+    # no PhysicEdit script ever constructs (model_config.py:18-20; SURVEY
+    # M7/section 7.5) — recognised here so detection parity holds, with a
+    # clear "unsupported" story at load time rather than a hash miss.
+    "2bd19e845116e4f875a0a048e27fc219": "nexus_gen_llm",
+    "9b9313d104ac4df27991352fec013fd4": "rife",
+    "6b7116078c4170bfbeaedc8fe71f6649": "esrgan",
 }
+
+# Detectable but intentionally not constructible (documented divergence).
+UNSUPPORTED_LEGACY = {"nexus_gen_llm", "rife", "esrgan"}
 
 
 def detect_model_name(sd: dict) -> str | None:

@@ -97,12 +97,19 @@ class PhysicEditPipeline:
         training export: DiT-LoRA keys are merged into the DiT weights and
         `pipe.*` keys populate the adapters (validate.py:33-65 semantics).
         """
+        from physicedit_tpu.io.safetensors_io import UNSUPPORTED_LEGACY
+
         parts: dict = {}
         for path in model_paths:
             sd = load_state_dict(path)
             name = detect_model_name(sd)
             if name is None:
                 raise ValueError(f"unrecognised checkpoint: {path}")
+            if name in UNSUPPORTED_LEGACY:
+                raise ValueError(
+                    f"{path} is a '{name}' checkpoint: recognised but not "
+                    f"on the PhysicEdit path (legacy zoo - documented "
+                    f"divergence, SURVEY.md section 7.5)")
             parts[name] = sd
 
         adapters = {}
