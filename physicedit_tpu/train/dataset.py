@@ -413,3 +413,27 @@ class VideoDataset:
                     warnings.warn(f"cannot load {rec[key]}: {e}")
                     return None
         return rec
+
+
+class CachedPreprocessedDataset:
+    """Read back `.npz` bundles written by Trainer.cache_preprocessed —
+    the consume side of the reference's data-process task
+    (trainers/utils.py:969-1002).  Use with TrainConfig(cached_inputs=True).
+    """
+
+    def __init__(self, cache_dir: str, repeat: int = 1):
+        import numpy as _np
+
+        self._np = _np
+        self.paths = sorted(Path(cache_dir).glob("*.npz"))
+        if not self.paths:
+            raise ValueError(f"no cached samples under {cache_dir}")
+        self.repeat = repeat
+
+    def __len__(self):
+        return len(self.paths) * self.repeat
+
+    def __getitem__(self, i: int):
+        with self._np.load(self.paths[i % len(self.paths)],
+                           allow_pickle=False) as z:
+            return {k: z[k] for k in z.files}

@@ -61,6 +61,9 @@ class TrainConfig:
     # (kernels/quant_matmul.py); trainable params stay full precision.
     quantize_frozen: str = "none"
     quantize_min_size: int = 1 << 16   # leave small layers full precision
+    # dataset items are already preprocessed .npz bundles (the reference's
+    # cached data-process mode): skip the per-sample frozen-encoder pass
+    cached_inputs: bool = False
 
 
 def init_trainable(pipe, cfg: TrainConfig):
@@ -322,6 +325,45 @@ class Trainer:
                 placed[k] = jax.device_put(v, sharding)
         return placed
 
+    def _refresh_noise(self, micro: dict) -> dict:
+        """Redraw the stochastic fields (noise + timestep sample) of a
+        cached sample: the cache stores encoder outputs; the diffusion
+        noising must differ per visit, like the inline path."""
+        micro = dict(micro)
+        tid = int(self.rng.integers(0, fm.NUM_TRAIN_TIMESTEPS))
+        micro["noise"] = jnp.asarray(self.rng.standard_normal(
+            np.asarray(micro["input_latents"]).shape).astype(np.float32))
+        micro["sigma"] = jnp.asarray([self.train_sched.sigmas[tid]])
+        micro["timestep"] = jnp.asarray([self.train_sched.timesteps[tid]])
+        micro["weight"] = jnp.asarray([self.train_sched.weights[tid]])
+        return micro
+
+    def cache_preprocessed(self, output_dir: str) -> int:
+        """Run the frozen-encoder preprocessing once and write each sample
+        as an ``.npz`` bundle — the reference's ``launch_data_process_task``
+        data-process mode (trainers/utils.py:932-1002; cached inputs are
+        then read back by UnifiedDataset's cache mode or
+        CachedPreprocessedDataset).  The stochastic fields are re-drawn at
+        train time (_refresh_noise).  Returns the number of cached samples.
+        """
+        import os
+
+        os.makedirs(output_dir, exist_ok=True)
+        n = 0
+        for i in range(len(self.dataset)):
+            sample = self.dataset[i]
+            if sample is None:
+                continue
+            micro = self.preprocess(sample)
+            if micro is None:
+                continue
+            np.savez_compressed(
+                os.path.join(output_dir, f"{i:06d}.npz"),
+                **{k: np.asarray(v) for k, v in micro.items()})
+            n += 1
+        print(f"[TRAIN] cached {n} preprocessed samples -> {output_dir}")
+        return n
+
     def train(self):
         cfg = self.cfg
         frozen = self.frozen
@@ -333,7 +375,8 @@ class Trainer:
                 sample = self.dataset[i]
                 if sample is None:
                     continue
-                micro = self.preprocess(sample)
+                micro = (self._refresh_noise(sample) if cfg.cached_inputs
+                         else self.preprocess(sample))
                 if micro is None:
                     continue
                 pending.append(micro)

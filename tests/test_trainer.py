@@ -259,3 +259,32 @@ def test_trainer_quantize_frozen_config():
     with pytest.raises(ValueError):
         Trainer(pipe, SyntheticDataset(),
                 TrainConfig(output_path="/tmp/x", quantize_frozen="fp8"))
+
+
+def test_cache_preprocessed_roundtrip(trainer, tmp_path):
+    """Data-process mode: preprocess once -> npz cache -> train from cache
+    produces the same collated batch as inline preprocessing."""
+    from physicedit_tpu.train.dataset import CachedPreprocessedDataset
+
+    t = trainer
+    n = t.cache_preprocessed(str(tmp_path / "cache"))
+    assert n == len(t.dataset)
+    cached = CachedPreprocessedDataset(str(tmp_path / "cache"))
+    assert len(cached) == n
+    inline = t.collate([t.preprocess(t.dataset[i]) for i in (0, 1)])
+    from_cache = t.collate([t._refresh_noise(cached[0]),
+                            t._refresh_noise(cached[1])])
+    assert set(inline) == set(from_cache)
+    # prior-branch features use augmentation randomness at preprocess
+    # time; the cache freezes one draw (encoder outputs), noise/timestep
+    # are redrawn per visit
+    stochastic = {"noise", "sigma", "timestep", "weight",
+                  "dino_mid_feats", "dino_src_feats",
+                  "vae_mid_tokens", "vae_src_tokens"}
+    for k in inline:
+        if k in stochastic:  # redrawn per visit by design
+            assert np.asarray(from_cache[k]).shape == np.asarray(inline[k]).shape
+            continue
+        np.testing.assert_allclose(np.asarray(inline[k], np.float32),
+                                   np.asarray(from_cache[k], np.float32),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
