@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="w4: pack the frozen DiT to int4 so the 20B model "
                         "LoRA-trains on one 16GB chip (the TPU equivalent "
                         "of the reference's single-GPU offload training)")
+    p.add_argument("--data_process_output", type=str, default=None,
+                   help="run the data-process task instead of training: "
+                        "preprocess every sample once and write .npz "
+                        "bundles here (reference launch_data_process_task)")
+    p.add_argument("--cached_inputs_path", type=str, default=None,
+                   help="train from a --data_process_output cache instead "
+                        "of raw videos")
     return p
 
 
@@ -66,9 +73,15 @@ def main(argv=None):
     pipe.dinov2_params = dinov2_from_torch(
         load_state_dict(args.dinov2_path), dtype=jnp.float32)
 
-    dataset = PhysicTranDataset(
-        args.dataset_base_path, num_frames=args.num_frames,
-        height=args.height, width=args.width, repeat=args.dataset_repeat)
+    if args.cached_inputs_path:
+        from physicedit_tpu.train.dataset import CachedPreprocessedDataset
+
+        dataset = CachedPreprocessedDataset(args.cached_inputs_path,
+                                            repeat=args.dataset_repeat)
+    else:
+        dataset = PhysicTranDataset(
+            args.dataset_base_path, num_frames=args.num_frames,
+            height=args.height, width=args.width, repeat=args.dataset_repeat)
 
     cfg = TrainConfig(
         output_path=args.output_path, learning_rate=args.learning_rate,
@@ -78,7 +91,8 @@ def main(argv=None):
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         batch_size=args.batch_size,
         height=args.height, width=args.width, seed=args.seed,
-        quantize_frozen=args.quantize_frozen)
+        quantize_frozen=args.quantize_frozen,
+        cached_inputs=args.cached_inputs_path is not None)
 
     mesh = None
     if args.data_parallel * args.model_parallel > 1:
@@ -88,6 +102,9 @@ def main(argv=None):
 
     trainer = Trainer(pipe, dataset, cfg, logger=TrainLogger(args.use_wandb),
                       mesh=mesh)
+    if args.data_process_output:
+        trainer.cache_preprocessed(args.data_process_output)
+        return
     if args.resume_from:
         trainer.resume(args.resume_from)
     trainer.train()
