@@ -358,6 +358,12 @@ class PhysicEditPipeline:
     def reason_physical(self, prompt: str, edit_image,
                         max_new_tokens: int = 1000) -> str:
         """Inference-time physical reasoner (qwen_image_physical.py:943-986)."""
+        return self.reason_physical_batch([prompt], [edit_image],
+                                          max_new_tokens)[0]
+
+    def _reasoner_inputs(self, prompt: str, edit_image):
+        """Host side of one reasoner prompt: (embeds [s, D] fp32 np,
+        rope pos [3, s], s)."""
         text = P.reasoner_chat_text(P.REASONER_SYSTEM_PROMPT, [
             ("text", "Edit Instruction:"), ("text", prompt),
             ("text", "Edit Image:"), ("image",)])
@@ -373,38 +379,60 @@ class PhysicEditPipeline:
         embeds = np.asarray(
             m_text.embed_tokens(self.text_params, jnp.asarray(ids))
             .astype(jnp.float32))
-        embeds = vl_host.scatter_vision_features(embeds, ids, feats, self.image_pad_id)
-        pos = vl_host.get_rope_index(ids, grids, self.image_pad_id, self.vision_start_id)
+        embeds = vl_host.scatter_vision_features(embeds, ids, feats,
+                                                 self.image_pad_id)
+        pos = vl_host.get_rope_index(ids, grids, self.image_pad_id,
+                                     self.vision_start_id)
+        return embeds, pos, len(ids)
 
-        s = len(ids)
+    def reason_physical_batch(self, prompts: list, edit_images: list,
+                              max_new_tokens: int = 1000) -> list:
+        """Physical reasoning for N edits in ONE prefill + decode.
+
+        The greedy decode is weight-read-bound, so a batch of N rows costs
+        nearly the same wall time as one (amortised in sweep serving via
+        edit_batch).  Prompts are left-padded to a shared /128 bucket so
+        prefill/decode programs are reused across calls; rows stop
+        independently at EOS.
+        """
+        items = [self._reasoner_inputs(p, im)
+                 for p, im in zip(prompts, edit_images)]
+        b = len(items)
+        s_max = max(s for _, _, s in items)
         # Bucket BOTH the prompt length (left-pad, masked) and the cache
         # length so every reasoner call with a similar-length prompt reuses
         # one compiled prefill + decode program.
-        s_pad = ((s + 127) // 128) * 128
-        pad = s_pad - s
+        s_pad = ((s_max + 127) // 128) * 128
         max_total = s_pad + max_new_tokens
-        embeds_p = np.concatenate(
-            [np.zeros((pad, embeds.shape[1]), embeds.dtype), embeds], axis=0)
-        pos_p = np.concatenate([np.zeros((3, pad), pos.dtype), pos], axis=1)
-        attn_mask = np.concatenate([np.zeros(pad, bool), np.ones(s, bool)])
+        dim = items[0][0].shape[1]
+        embeds_p = np.zeros((b, s_pad, dim), np.float32)
+        pos_p = np.zeros((3, b, s_pad), items[0][1].dtype)
+        attn_mask = np.zeros((b, s_pad), bool)
+        start_rope = np.zeros((b,), np.int32)
+        for i, (emb, pos, s) in enumerate(items):
+            embeds_p[i, s_pad - s:] = emb
+            pos_p[:, i, s_pad - s:] = pos
+            attn_mask[i, s_pad - s:] = True
+            start_rope[i] = int(pos.max()) + 1
         logits, caches, _ = m_text.prefill(
             self.text_params, self.text_cfg,
-            jnp.asarray(embeds_p[None], self.dtype),
-            jnp.asarray(pos_p[:, None, :]), jnp.asarray(attn_mask[None]),
+            jnp.asarray(embeds_p, self.dtype),
+            jnp.asarray(pos_p), jnp.asarray(attn_mask),
             max_total)
         first = jnp.argmax(logits, -1).astype(jnp.int32)
-        start_rope = int(pos.max()) + 1
         key_mask = jnp.asarray(np.concatenate(
-            [attn_mask, np.zeros(max_total - s_pad, bool)])[None])
+            [attn_mask, np.zeros((b, max_total - s_pad), bool)], axis=1))
         toks, _ = m_text.greedy_decode(
             self.text_params, self.text_cfg, caches, first, s_pad,
-            jnp.full((1,), start_rope, jnp.int32), max_new_tokens,
-            key_mask=key_mask)
-        toks = np.asarray(toks)[0].tolist()
-        if self.text_cfg.eos_token_id in toks:
-            toks = toks[: toks.index(self.text_cfg.eos_token_id)]
-        decoded = self.tokenizer.decode(toks, skip_special_tokens=True)
-        return P.reasoner_text_from_response(decoded)
+            jnp.asarray(start_rope), max_new_tokens, key_mask=key_mask)
+        outs = []
+        for row in np.asarray(toks):
+            row = row.tolist()
+            if self.text_cfg.eos_token_id in row:
+                row = row[: row.index(self.text_cfg.eos_token_id)]
+            decoded = self.tokenizer.decode(row, skip_special_tokens=True)
+            outs.append(P.reasoner_text_from_response(decoded))
+        return outs
 
     # ------------------------------------------------------------------
     # Full edit
@@ -681,14 +709,15 @@ class PhysicEditPipeline:
         img_shapes.append((1, eh // 2, ew // 2))
         extra_tokens = jnp.concatenate(lats, axis=0)
 
-        # Conditioning: reasoner + prompt encode per item (host loop; the
-        # denoise dominates), positives then negatives on the batch axis.
+        # Conditioning: the reasoner runs BATCHED (one prefill + decode for
+        # all items — the decode is weight-read-bound so N rows cost ~one);
+        # prompt encode per item; positives then negatives on the batch axis.
+        physical_txts = [""] * n
+        if have_text_reasoning:
+            physical_txts = self.reason_physical_batch(prompts, edit_images)
         embs, specials = [], []
-        for prompt, im in zip(prompts, edit_images):
-            physical_txt = ""
-            if have_text_reasoning:
-                physical_txt = self.reason_physical(prompt, im)
-            e, sp = self.encode_prompt_edit(prompt + physical_txt, im)
+        for prompt, ptxt, im in zip(prompts, physical_txts, edit_images):
+            e, sp = self.encode_prompt_edit(prompt + ptxt, im)
             embs.append(e)
             specials.append(sp)
         use_cfg = cfg_scale != 1.0

@@ -337,3 +337,18 @@ def test_quantized_pipeline_quality(tiny_pipe):
     assert p8 > 20.0, p8
     assert p4 > 13.0, p4
     assert p8 >= p4 - 1.0  # int8 should not be worse than int4
+
+
+def test_reasoner_batch_matches_single(tiny_pipe):
+    """Batched reasoning (one prefill+decode for N items) reproduces the
+    per-item results, including mixed prompt lengths in one bucket."""
+    rng = np.random.default_rng(31)
+    ims = [Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+           for _ in range(2)]
+    prompts = ["tilt the cup", "slide the very big red box to the left side"]
+    singles = [tiny_pipe.reason_physical(p, im, max_new_tokens=5)
+               for p, im in zip(prompts, ims)]
+    # reason_physical delegates to the batch path with one row; check a
+    # true multi-row call agrees with the row-at-a-time results
+    batched = tiny_pipe.reason_physical_batch(prompts, ims, max_new_tokens=5)
+    assert batched == singles
