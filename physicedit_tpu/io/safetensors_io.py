@@ -81,17 +81,22 @@ KNOWN_HASHES = {
     "ed4ea5824d55ec3107b09815e318123a": "qwen_image_vae",
     "073bce9cf969e317e5662cd570c3e79c": "qwen_image_blockwise_controlnet",
     "a9e54e480a628f0b956a688a81c33bab": "qwen_image_blockwise_controlnet_inpaint",
-    # Legacy-zoo checkpoints the reference registry can identify but that
-    # no PhysicEdit script ever constructs (model_config.py:18-20; SURVEY
-    # M7/section 7.5) — recognised here so detection parity holds, with a
-    # clear "unsupported" story at load time rather than a hash miss.
+    # Legacy-zoo checkpoints (reference model_config.py:18-20; SURVEY M7).
+    # rife/esrgan load via physicedit_tpu.extensions.{rife,esrgan};
+    # nexus_gen is recognised-but-unsupported (documented divergence).
     "2bd19e845116e4f875a0a048e27fc219": "nexus_gen_llm",
     "9b9313d104ac4df27991352fec013fd4": "rife",
     "6b7116078c4170bfbeaedc8fe71f6649": "esrgan",
 }
 
 # Detectable but intentionally not constructible (documented divergence).
-UNSUPPORTED_LEGACY = {"nexus_gen_llm", "rife", "esrgan"}
+UNSUPPORTED_LEGACY = {"nexus_gen_llm"}
+
+# Detectable, loadable through the extension zoo rather than the pipeline.
+EXTENSION_LOADERS = {
+    "rife": "physicedit_tpu.extensions.rife.load_rife",
+    "esrgan": "physicedit_tpu.extensions.esrgan.load_esrgan",
+}
 
 
 def detect_model_name(sd: dict) -> str | None:
@@ -109,4 +114,9 @@ def detect_model_name(sd: dict) -> str | None:
         return "qwen_image_text_encoder"
     if any(k.startswith("controlnet_blocks.") for k in keys):
         return "qwen_image_blockwise_controlnet"
+    if any(".rdb1.conv1." in k for k in keys):
+        return "esrgan"
+    if any(k.replace("module.", "").startswith("block0.convblock")
+           for k in keys):
+        return "rife"
     return None

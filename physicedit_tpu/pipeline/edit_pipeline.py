@@ -97,7 +97,8 @@ class PhysicEditPipeline:
         training export: DiT-LoRA keys are merged into the DiT weights and
         `pipe.*` keys populate the adapters (validate.py:33-65 semantics).
         """
-        from physicedit_tpu.io.safetensors_io import UNSUPPORTED_LEGACY
+        from physicedit_tpu.io.safetensors_io import (EXTENSION_LOADERS,
+                                                      UNSUPPORTED_LEGACY)
 
         parts: dict = {}
         for path in model_paths:
@@ -110,6 +111,10 @@ class PhysicEditPipeline:
                     f"{path} is a '{name}' checkpoint: recognised but not "
                     f"on the PhysicEdit path (legacy zoo - documented "
                     f"divergence, SURVEY.md section 7.5)")
+            if name in EXTENSION_LOADERS:
+                raise ValueError(
+                    f"{path} is a '{name}' checkpoint: not a pipeline part; "
+                    f"load it with {EXTENSION_LOADERS[name]}")
             parts[name] = sd
 
         adapters = {}

@@ -61,6 +61,7 @@ def _ensure_ref_package():
         ("refds.models", os.path.join(root, "models")),
         ("refds.schedulers", os.path.join(root, "schedulers")),
         ("refds.pipelines", os.path.join(root, "pipelines")),
+        ("refds.extensions", os.path.join(root, "extensions")),
     ]:
         mod = types.ModuleType(name)
         mod.__path__ = [path]
