@@ -81,21 +81,22 @@ KNOWN_HASHES = {
     "ed4ea5824d55ec3107b09815e318123a": "qwen_image_vae",
     "073bce9cf969e317e5662cd570c3e79c": "qwen_image_blockwise_controlnet",
     "a9e54e480a628f0b956a688a81c33bab": "qwen_image_blockwise_controlnet_inpaint",
-    # Legacy-zoo checkpoints (reference model_config.py:18-20; SURVEY M7).
-    # rife/esrgan load via physicedit_tpu.extensions.{rife,esrgan};
-    # nexus_gen is recognised-but-unsupported (documented divergence).
+    # Legacy-zoo checkpoints (reference model_config.py:18-20; SURVEY M7):
+    # loadable through their own modules rather than the PhysicEdit
+    # pipeline (see EXTENSION_LOADERS).
     "2bd19e845116e4f875a0a048e27fc219": "nexus_gen_llm",
     "9b9313d104ac4df27991352fec013fd4": "rife",
     "6b7116078c4170bfbeaedc8fe71f6649": "esrgan",
 }
 
 # Detectable but intentionally not constructible (documented divergence).
-UNSUPPORTED_LEGACY = {"nexus_gen_llm"}
+UNSUPPORTED_LEGACY: set = set()
 
-# Detectable, loadable through the extension zoo rather than the pipeline.
+# Detectable, loadable outside the PhysicEdit pipeline (legacy zoo).
 EXTENSION_LOADERS = {
     "rife": "physicedit_tpu.extensions.rife.load_rife",
     "esrgan": "physicedit_tpu.extensions.esrgan.load_esrgan",
+    "nexus_gen_llm": "physicedit_tpu.models.nexus_gen.load_nexus_gen",
 }
 
 

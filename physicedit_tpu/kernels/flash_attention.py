@@ -46,9 +46,11 @@ DEFAULT_BK = 1024
 def _pick_blocks(sq: int, sk: int) -> tuple[int, int]:
     """Largest well-performing blocks that divide the (padded) lengths.
 
-    Measured on v5e at the 8448 workload: (768, 1408) is the sweet spot;
-    any multiple-of-128 block divides after padding."""
-    bq = 768 if sq % 768 == 0 else DEFAULT_BQ
+    Measured on v5e at the 8448 workload (tools/measure_w4_block.py
+    --attn-sweep): (1408, 1408) 14.40 ms ~= (768, 2816) < (768, 1408)
+    14.57 < (512, 1024) 17.3; any multiple-of-128 block divides after
+    padding."""
+    bq = 1408 if sq % 1408 == 0 else (768 if sq % 768 == 0 else DEFAULT_BQ)
     bk = 1408 if sk % 1408 == 0 else DEFAULT_BK
     return bq, bk
 

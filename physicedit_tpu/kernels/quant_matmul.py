@@ -10,15 +10,22 @@ TFLOPS bf16 at the DiT workload shapes).
 
 jnp.int4 is unusable on this stack (dot_general recursion bug; and the
 device layout is byte-per-element, so no memory win), so nibbles are
-hand-packed two-per-int8-byte along the contraction axis:
+hand-packed two-per-int8-byte along the contraction axis, with the low
+nibble OFFSET-encoded so both planes unpack with a single bitwise AND
+(Mosaic cannot lower int8 vector shifts or subs, only bitwise ops):
 
-    packed[k, n] = (w_q[k + K/2, n] << 4) | (w_q[k, n] & 0xF)   k < K/2
+    packed[k, n] = (w_q[k + K/2, n] << 4) | (w_q[k, n] + 8)     k < K/2
 
-i.e. the LOW nibble holds the first half of K, the HIGH nibble the second
-half.  The kernel feeds the two contiguous K-halves of the activation
-against the two unpacked nibble planes — no interleaving, no strided
-slicing; the unpack is two arithmetic shifts per weight tile (<1% of the
-tile's MXU work at block_m >= 512).
+    t      = packed & 15      # == w_lo + 8      (int8 AND)
+    w_hi16 = packed & -16     # == 16 * w_hi     (two's complement exact)
+
+The kernel dots the two contiguous K-halves of the activation against
+these planes into two int32 accumulators; the epilogue recovers the exact
+result as  acc_lo - 8*rowsum(x_lo) + (acc_hi >> 4)  (the rowsum is one
+cheap XLA pass outside the kernel; acc_hi is a multiple of 16 so the
+shift is exact).  This keeps the per-weight-tile VPU unpack at two int8
+ANDs — the win shows at decode (M=1), where unpack cost over the whole
+weight matrix per token is what made int4 slower than int8.
 
 Weights are quantized per-output-channel symmetric to [-7, 7];
 activations per-row symmetric int8 (same scheme as ops/quant.py W8A8).
@@ -27,6 +34,7 @@ activations per-row symmetric int8 (same scheme as ops/quant.py W8A8).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import numpy as np
@@ -43,6 +51,7 @@ def quantize_weight_int4(w: jax.Array) -> dict:
     """[K, N] float -> {'w4': int8 [K/2, N] packed nibbles, 'w_scale': f32 [N]}.
 
     K must be even (all DiT/VL projection dims are multiples of 256).
+    Low nibble is offset-encoded (+8) — see module docstring.
     """
     k = w.shape[0]
     assert k % 2 == 0, f"contraction dim {k} must be even for nibble packing"
@@ -51,7 +60,7 @@ def quantize_weight_int4(w: jax.Array) -> dict:
     scale = jnp.maximum(amax / 7.0, 1e-8)
     q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
     lo, hi = q[: k // 2], q[k // 2:]
-    packed = ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+    packed = ((hi << 4) | ((lo + 8) & 0xF)).astype(jnp.int8)
     return {"w4": packed, "w_scale": scale[0]}
 
 
@@ -68,18 +77,18 @@ def quantize_rows(x: jax.Array):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _w4a8_kernel(xlo_ref, xhi_ref, wp_ref, xs_ref, wsb_ref, out_ref,
-                 acc_scr, *, nk):
+def _w4a8_kernel_i32(xlo_ref, xhi_ref, wp_ref, xs_ref, wsb_ref,
+                     out_ref, acc_scr, *, nk):
+    """Single-accumulator variant: unpack via int32 widening (one scratch,
+    better VMEM pipelining at medium-M compute-bound shapes)."""
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _init():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # Unpack nibbles in int32 (Mosaic cannot lower int8 vector shifts);
-    # arithmetic shifts recover the sign of each nibble.
-    wp = wp_ref[:].astype(jnp.int32)     # [bk2, bn] packed
-    w_lo = ((wp << 28) >> 28).astype(jnp.int8)
+    wp = wp_ref[:].astype(jnp.int32)
+    w_lo = ((wp & 15) - 8).astype(jnp.int8)
     w_hi = (wp >> 4).astype(jnp.int8)
     acc_scr[:] += jax.lax.dot_general(
         xlo_ref[:], w_lo, (((1,), (0,)), ((), ())),
@@ -90,45 +99,90 @@ def _w4a8_kernel(xlo_ref, xhi_ref, wp_ref, xs_ref, wsb_ref, out_ref,
 
     @pl.when(kk == nk - 1)
     def _finish():
-        # Fused dequant epilogue: int32 acc never leaves VMEM (an [M, N]
-        # int32 materialisation would be 0.8 GB at the fc1 workload).
         out_ref[:] = (acc_scr[:].astype(jnp.float32) * xs_ref[:]
                       * wsb_ref[0:1, :] + wsb_ref[1:2, :]).astype(out_ref.dtype)
 
 
+def _w4a8_kernel(xlo_ref, xhi_ref, wp_ref, xs_ref, wsb_ref, rs_ref, out_ref,
+                 acc_scr, acc16_scr, *, nk):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        acc16_scr[:] = jnp.zeros_like(acc16_scr)
+
+    # AND-only unpack (module docstring): two int8 bitwise ops, no int32
+    # widening — Mosaic cannot lower int8 vector shifts/subs.
+    wp = wp_ref[:]                        # [bk2, bn] packed int8
+    t = wp & jnp.int8(15)                 # w_lo + 8
+    w_hi16 = wp & jnp.int8(-16)           # 16 * w_hi
+    acc_scr[:] += jax.lax.dot_general(
+        xlo_ref[:], t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc16_scr[:] += jax.lax.dot_general(
+        xhi_ref[:], w_hi16, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(kk == nk - 1)
+    def _finish():
+        # Fused dequant epilogue: int32 acc never leaves VMEM (an [M, N]
+        # int32 materialisation would be 0.8 GB at the fc1 workload).
+        # acc16 is a multiple of 16, so the shift is exact; rs is the
+        # 8*rowsum offset correction.
+        acc = acc_scr[:] - rs_ref[:] + (acc16_scr[:] >> 4)
+        out_ref[:] = (acc.astype(jnp.float32) * xs_ref[:]
+                      * wsb_ref[0:1, :] + wsb_ref[1:2, :]).astype(out_ref.dtype)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("block_m", "block_n", "block_k2", "out_dtype"))
+                   static_argnames=("block_m", "block_n", "block_k2",
+                                    "out_dtype", "variant"))
 def _w4a8_matmul(x_q, packed, x_scale, wsb, out_dtype,
-                 block_m=512, block_n=1024, block_k2=512):
+                 block_m=512, block_n=1024, block_k2=512, variant="and"):
     """x_q: [M, K] int8; packed: [K/2, N] int8; x_scale: [M, 1] f32;
     wsb: [2, N] f32 (row 0 = weight scales, row 1 = bias or zeros)
     -> [M, N] out_dtype, dequantized.
 
     The two K-halves of x are fed as two views of the same buffer with
     offset index maps, matched against the low/high nibble planes.
+    variant: "and" (AND-only unpack, two accumulators — wins when the
+    per-token unpack VPU cost dominates, i.e. decode) or "i32" (int32
+    widening, one accumulator — wins at medium-M compute-bound shapes).
     """
     m, k = x_q.shape
     k2, n = packed.shape
     assert k == 2 * k2, (x_q.shape, packed.shape)
     nm, nn, nk = m // block_m, n // block_n, k2 // block_k2
-    kernel = functools.partial(_w4a8_kernel, nk=nk)
+    in_specs = [
+        pl.BlockSpec((block_m, block_k2), lambda i, j, kk: (i, kk)),
+        pl.BlockSpec((block_m, block_k2),
+                     lambda i, j, kk, nk=nk: (i, kk + nk)),
+        pl.BlockSpec((block_k2, block_n), lambda i, j, kk: (kk, j)),
+        pl.BlockSpec((block_m, 1), lambda i, j, kk: (i, 0)),
+        pl.BlockSpec((2, block_n), lambda i, j, kk: (0, j)),
+    ]
+    if variant == "i32":
+        kernel = functools.partial(_w4a8_kernel_i32, nk=nk)
+        scratch = [pltpu.VMEM((block_m, block_n), jnp.int32)]
+        operands = (x_q, x_q, packed, x_scale, wsb)
+    else:
+        rs = 8 * jnp.sum(x_q[:, :k2].astype(jnp.int32), axis=1, keepdims=True)
+        kernel = functools.partial(_w4a8_kernel, nk=nk)
+        scratch = [pltpu.VMEM((block_m, block_n), jnp.int32),
+                   pltpu.VMEM((block_m, block_n), jnp.int32)]
+        in_specs.append(pl.BlockSpec((block_m, 1), lambda i, j, kk: (i, 0)))
+        operands = (x_q, x_q, packed, x_scale, wsb, rs)
     return pl.pallas_call(
         kernel,
         grid=(nm, nn, nk),
-        in_specs=[
-            pl.BlockSpec((block_m, block_k2), lambda i, j, kk: (i, kk)),
-            pl.BlockSpec((block_m, block_k2),
-                         lambda i, j, kk, nk=nk: (i, kk + nk)),
-            pl.BlockSpec((block_k2, block_n), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((block_m, 1), lambda i, j, kk: (i, 0)),
-            pl.BlockSpec((2, block_n), lambda i, j, kk: (0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
-    )(x_q, x_q, packed, x_scale, wsb)
+    )(*operands)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -152,9 +206,9 @@ def _w4_bwd_dx_kernel(g_ref, wp_ref, lo_ref, hi_ref, lo_scr, hi_scr, *, nn):
         hi_scr[:] = jnp.zeros_like(hi_scr)
 
     g = g_ref[:]                          # [bm, bn] bf16 (w_scale folded in)
-    wp = wp_ref[:].astype(jnp.int32)      # [bk2, bn]
-    w_lo = ((wp << 28) >> 28).astype(g.dtype)
-    w_hi = (wp >> 4).astype(g.dtype)
+    wp = wp_ref[:]                        # [bk2, bn] packed int8
+    w_lo = ((wp & jnp.int8(15)).astype(jnp.int32) - 8).astype(g.dtype)
+    w_hi = ((wp & jnp.int8(-16)).astype(jnp.int32) >> 4).astype(g.dtype)
     lo_scr[:] += jax.lax.dot_general(g, w_lo, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     hi_scr[:] += jax.lax.dot_general(g, w_hi, (((1,), (1,)), ((), ())),
@@ -261,10 +315,33 @@ w4a8_linear.defvjp(_w4a8_linear_fwd, _w4a8_linear_bwd)
 def _dequant_w4(p):
     """XLA-side unpack for shapes below Mosaic's 128-lane tile minimum."""
     wp = p["w4"].astype(jnp.int32)
-    w_lo = ((wp << 28) >> 28)
-    w_hi = (wp >> 4)
+    w_lo = (wp & 15) - 8
+    w_hi = wp >> 4
     return (jnp.concatenate([w_lo, w_hi], axis=0).astype(jnp.float32)
             * p["w_scale"].astype(jnp.float32))
+
+
+def _unpack_w4_int8(packed):
+    """[K/2, N] packed -> [K, N] int8 (XLA path: int8 shifts/subs are
+    legal outside Mosaic; low nibble is offset-encoded +8)."""
+    lo = ((packed & jnp.int8(15)) - jnp.int8(8)).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+# "pallas": fused kernel (int4 stays packed to VMEM; lowest HBM traffic).
+# "xla": unpack to an int8 scratch + XLA int8 dot (XLA's int8 matmul
+# schedule beats the Pallas kernel at large-M DiT shapes: 38.6 vs 39.5
+# ms/block measured, tools/measure_w4_block.py — at the cost of an extra
+# HBM round-trip over the weights, which is why small-M (decode) calls
+# still route to the fused kernel below regardless of this default).
+_W4A8_IMPL = os.environ.get("PHYSICEDIT_W4A8_IMPL", "xla")
+
+
+def set_w4a8_impl(name: str):
+    global _W4A8_IMPL
+    assert name in ("pallas", "xla"), name
+    _W4A8_IMPL = name
 
 
 def _w4a8_linear_impl(p: dict, x: jax.Array) -> jax.Array:
@@ -281,6 +358,20 @@ def _w4a8_linear_impl(p: dict, x: jax.Array) -> jax.Array:
             out = out + p["b"].astype(jnp.float32)
         return out.reshape(*lead, n).astype(x.dtype)
     xq, xs = quantize_rows(x2)
+    # Small/medium M is weight-read-bound: the fused kernel reads 0.5
+    # byte/weight vs the XLA path's 2.5 (unpack round-trip).  Measured
+    # crossover: DiT M=16896 is ~2% faster via XLA (38.6 vs 39.5
+    # ms/block), VL prefill M=1536 is >2x SLOWER (852 vs 391 ms) — so the
+    # impl switch only applies at clearly compute-bound sizes.
+    if _W4A8_IMPL == "xla" and m >= 8192:
+        acc = jax.lax.dot_general(xq, _unpack_w4_int8(p["w4"]),
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        out = (acc.astype(jnp.float32) * xs
+               * p["w_scale"].astype(jnp.float32)[None, :])
+        if "b" in p:
+            out = out + p["b"].astype(jnp.float32)
+        return out.reshape(*lead, n).astype(x.dtype)
 
     def pick(dim, candidates, fallback):
         for c in candidates:
@@ -301,7 +392,8 @@ def _w4a8_linear_impl(p: dict, x: jax.Array) -> jax.Array:
             else jnp.zeros((n,), jnp.float32))
     wsb = jnp.stack([p["w_scale"].astype(jnp.float32), bias])
     out = _w4a8_matmul(xq, p["w4"], xs.astype(jnp.float32), wsb, x.dtype,
-                       block_m=bm, block_n=bn, block_k2=bk2)
+                       block_m=bm, block_n=bn, block_k2=bk2,
+                       variant="and" if m < 256 else "i32")
     if pad_m:
         out = out[:m]
     return out.reshape(*lead, n)

@@ -36,15 +36,52 @@ def _chunk_attention_stats(q, k, v, key_mask, scale):
     return o, m, l
 
 
-def _ring_body(axis_name, q, k, v, key_mask, scale, n_shards):
+def _chunk_partials_pallas(q, k, v, key_mask):
+    """One K/V chunk through the fused fixed-max Pallas kernel
+    (kernels/flash_attention.py): returns UNNORMALISED (acc, l).
+
+    The fixed-max softmax has no running max, so ring partials combine by
+    plain addition — no cross-chunk max/rescale bookkeeping at all (the
+    exp2 logits are bounded by the DiT's RMS-normed q/k; the same CLAMP
+    guard applies pointwise, so chunked == monolithic exactly).
+    """
+    from physicedit_tpu.kernels.flash_attention import (NEG_INF,
+                                                        _fixedmax_bnsd_lse,
+                                                        _pick_blocks)
+
+    b, n, sq, d = q.shape
+    sk = k.shape[2]
+    bq, bk = _pick_blocks(sq, sk)
+    pad_q, pad_k = (-sq) % bq, (-sk) % bk
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    bias = jnp.where(jnp.pad(key_mask, ((0, 0), (0, pad_k))),
+                     0.0, NEG_INF)[:, None, :].astype(jnp.float32)
+    out, l = _fixedmax_bnsd_lse(qp, kp, vp, bias, bq, bk)
+    out = out[:, :, :sq].astype(jnp.float32)
+    l = l[:, :, :sq, :1]
+    return out * l, l
+
+
+def _ring_body(axis_name, q, k, v, key_mask, scale, n_shards,
+               impl: str = "xla"):
+    use_pallas = impl == "pallas"
+
     def step(carry, _):
         o_acc, m_acc, l_acc, k_cur, v_cur, mask_cur = carry
-        o, m, l = _chunk_attention_stats(q, k_cur, v_cur, mask_cur, scale)
-        m_new = jnp.maximum(m_acc, m)
-        alpha_acc = jnp.exp(m_acc - m_new)
-        alpha = jnp.exp(m - m_new)
-        o_acc = o_acc * alpha_acc + o * alpha
-        l_acc = l_acc * alpha_acc + l * alpha
+        if use_pallas:
+            acc, l = _chunk_partials_pallas(q, k_cur, v_cur, mask_cur)
+            o_acc = o_acc + acc
+            l_acc = l_acc + l
+            m_new = m_acc                      # unused in the fixed-max lane
+        else:
+            o, m, l = _chunk_attention_stats(q, k_cur, v_cur, mask_cur, scale)
+            m_new = jnp.maximum(m_acc, m)
+            alpha_acc = jnp.exp(m_acc - m_new)
+            alpha = jnp.exp(m - m_new)
+            o_acc = o_acc * alpha_acc + o * alpha
+            l_acc = l_acc * alpha_acc + l * alpha
         perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
         k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
         v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
@@ -59,15 +96,23 @@ def _ring_body(axis_name, q, k, v, key_mask, scale, n_shards):
     return (o / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
 
-def ring_attention(q, k, v, key_mask, mesh: Mesh, axis: str = "model"):
+def ring_attention(q, k, v, key_mask, mesh: Mesh, axis: str = "model",
+                   impl: str | None = None):
     """Sequence-sharded attention: q/k/v [B, N, S, D] sharded on S over
     `axis`; key_mask [B, S] likewise.  Returns [B, N, S, D], same sharding.
 
     S must divide evenly by the axis size (pad + mask first).
+    impl: "pallas" fuses each per-chunk attention into the fixed-max flash
+    kernel (partials add — no cross-chunk rescale); "xla" keeps the dense
+    online-softmax chunk.  Default: pallas on TPU with head_dim 128.
     """
     n_shards = mesh.shape[axis]
+    if impl is None:
+        impl = ("pallas" if q.shape[-1] == 128
+                and jax.devices()[0].platform == "tpu" else "xla")
     scale = 1.0 / (q.shape[-1] ** 0.5)
-    body = functools.partial(_ring_body, axis, scale=scale, n_shards=n_shards)
+    body = functools.partial(_ring_body, axis, scale=scale,
+                             n_shards=n_shards, impl=impl)
 
     try:
         from jax import shard_map
@@ -76,11 +121,18 @@ def ring_attention(q, k, v, key_mask, mesh: Mesh, axis: str = "model"):
 
     spec_qkv = P(None, None, axis, None)
     spec_mask = P(None, axis)
+    kw = {}
+    if impl == "pallas":
+        # pallas_call outputs carry no varying-manual-axes annotation; the
+        # new shard_map VMA checker cannot infer them — disable the check
+        # (the kernel is purely per-device; correctness is test-pinned).
+        kw["check_vma"] = False
     fn = shard_map(
         lambda q_, k_, v_, m_: body(q=q_, k=k_, v=v_, key_mask=m_),
         mesh=mesh,
         in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_mask),
         out_specs=spec_qkv,
+        **kw,
     )
     return fn(q, k, v, key_mask)
 

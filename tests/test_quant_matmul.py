@@ -34,7 +34,7 @@ def test_pack_unpack_roundtrip():
     p = qm.quantize_weight_int4(w)
     assert p["w4"].shape == (128, 128) and p["w4"].dtype == jnp.int8
     packed = np.asarray(p["w4"]).astype(np.int8)
-    lo = np.left_shift(packed, 4).astype(np.int8) >> 4
+    lo = (packed & 15) - 8          # offset-encoded low nibble (+8)
     hi = packed >> 4
     unpacked = np.concatenate([lo, hi], 0) * np.asarray(p["w_scale"])
     np.testing.assert_allclose(unpacked, _ref_w4_dequant(w), rtol=1e-5, atol=1e-6)

@@ -92,3 +92,32 @@ def test_ulysses_attention_matches_full():
     np.testing.assert_allclose(np.asarray(out)[:, :, mask[0]],
                                np.asarray(ref)[:, :, mask[0]],
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ring_attention_pallas_chunks_match_full(monkeypatch):
+    """The fused fixed-max Pallas per-chunk lane (interpret mode on CPU):
+    unnormalised partials added across ring hops == monolithic attention."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+
+    mesh = sh.create_mesh(1, 8)
+    rng = np.random.default_rng(2)
+    b, n, s, d = 1, 2, 8 * 128, 128       # head_dim 128 = the kernel's tile
+    q = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    mask = np.ones((b, s), bool)
+    mask[0, 900:] = False                 # tail spanning the last shard
+    mask_j = jnp.asarray(mask)
+
+    out = ra.ring_attention(q, k, v, mask_j, mesh, axis=sh.MODEL_AXIS,
+                            impl="pallas")
+    ref = sdpa_bnsd(q, k, v, key_mask=mask_j)
+    np.testing.assert_allclose(np.asarray(out)[:, :, mask[0]],
+                               np.asarray(ref)[:, :, mask[0]],
+                               rtol=2e-4, atol=2e-4)
