@@ -133,9 +133,15 @@ def bench_dit_bf16_per_block(dtype):
     return block_s
 
 
-def bench_vl(cfg_name="w4"):
+def bench_vl(cfg_name="w4", batch_sizes=(1, 4)):
     """VL-7B conditioning: prefill at the edit-prompt length + decode
-    ms/token, packed-int4 weights (the single-chip co-resident config)."""
+    ms/token, packed-int4 weights (the single-chip co-resident config).
+
+    Also measured at batch_sizes[1:] — the sweep-serving mode (BASELINE
+    config #5): `reason_physical_batch` runs one prefill + decode over N
+    sweep items, amortising the weight-read-bound decode.  Returns
+    {b: (prefill_s, per_tok_s)}.
+    """
     from physicedit_tpu.core.params import random_tree_like, tree_size_bytes
     from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
     from physicedit_tpu.models import qwen_vl as m
@@ -147,43 +153,51 @@ def bench_vl(cfg_name="w4"):
     params = random_tree_like(2, shapes)
     log(f"vl params ({cfg_name}): {tree_size_bytes(params)/1e9:.2f} GB")
 
-    b, s = 1, 1536                       # bucketed edit prompt w/ image tokens
+    s = 1536                             # bucketed edit prompt w/ image tokens
     max_total = s + REASONER_MAX_TOKENS
     rng = np.random.default_rng(0)
-    pos = jnp.broadcast_to(jnp.arange(s)[None, None], (3, b, s))
-    attn = jnp.ones((b, s), bool)
+    results = {}
+    for b in batch_sizes:
+        pos = jnp.broadcast_to(jnp.arange(s)[None, None], (3, b, s))
+        attn = jnp.ones((b, s), bool)
 
-    def prefill_once(i):
-        emb = jnp.asarray(rng.normal(size=(b, s, cfg.hidden_size)) * (0.1 + 0.01 * i),
-                          dtype)
-        t0 = time.perf_counter()
-        logits, caches, _ = m.prefill(params, cfg, emb, pos, attn, max_total)
-        fetch(logits)
-        return time.perf_counter() - t0, logits, caches
+        def prefill_once(i, b=b, pos=pos, attn=attn):
+            emb = jnp.asarray(
+                rng.normal(size=(b, s, cfg.hidden_size)) * (0.1 + 0.01 * i),
+                dtype)
+            t0 = time.perf_counter()
+            logits, caches, _ = m.prefill(params, cfg, emb, pos, attn,
+                                          max_total)
+            fetch(logits)
+            return time.perf_counter() - t0, logits, caches
 
-    prefill_once(0)                      # compile
-    prefill_s, logits, caches = prefill_once(1)
-    t2, _, _ = prefill_once(2)
-    prefill_s = min(prefill_s, t2)
-    log(f"vl prefill S={s}: {prefill_s*1e3:.0f} ms")
+        prefill_once(0)                  # compile
+        prefill_s, logits, caches = prefill_once(1)
+        t2, _, _ = prefill_once(2)
+        prefill_s = min(prefill_s, t2)
+        log(f"vl prefill B={b} S={s}: {prefill_s*1e3:.0f} ms")
 
-    n_dec = 32
-    first = jnp.argmax(logits, -1).astype(jnp.int32)
-    key_mask = jnp.concatenate([attn, jnp.zeros((b, max_total - s), bool)], 1)
+        n_dec = 32
+        first = jnp.argmax(logits, -1).astype(jnp.int32)
+        key_mask = jnp.concatenate(
+            [attn, jnp.zeros((b, max_total - s), bool)], 1)
 
-    def decode_once(tok0):
-        t0 = time.perf_counter()
-        toks, _ = m.greedy_decode(params, cfg, caches, tok0, s,
-                                  jnp.full((b,), s, jnp.int32), n_dec,
-                                  key_mask=key_mask)
-        fetch(toks)
-        return time.perf_counter() - t0
+        def decode_once(tok0, b=b, caches=caches, key_mask=key_mask):
+            t0 = time.perf_counter()
+            toks, _ = m.greedy_decode(params, cfg, caches, tok0, s,
+                                      jnp.full((b,), s, jnp.int32), n_dec,
+                                      key_mask=key_mask)
+            fetch(toks)
+            return time.perf_counter() - t0
 
-    decode_once(first)                   # compile
-    per_tok = min(decode_once((first + i) % 1000) for i in (1, 2)) / n_dec
-    log(f"vl decode: {per_tok*1e3:.1f} ms/token ({cfg_name})")
-    del params, caches
-    return prefill_s, per_tok
+        decode_once(first)               # compile
+        per_tok = min(decode_once((first + i) % 1000) for i in (1, 2)) / n_dec
+        log(f"vl decode B={b}: {per_tok*1e3:.1f} ms/token total "
+            f"({per_tok/b*1e3:.2f} ms/token/item, {cfg_name})")
+        results[b] = (prefill_s, per_tok)
+        del caches
+    del params
+    return results
 
 
 def main():
@@ -213,7 +227,8 @@ def main():
     bf16_step_s = NUM_BLOCKS * bf16_block_s
 
     # ---- 3. VL conditioning (packed int4, co-resident budget) -----------
-    prefill_s, per_tok = bench_vl()
+    vl = bench_vl()
+    prefill_s, per_tok = vl[1]
 
     # ---- 4. VAE ----------------------------------------------------------
     enc_s, dec_s = bench_vae(dtype)
@@ -241,6 +256,17 @@ def main():
         f"(typical-reasoner: {60/edit_typ_s:.3f})")
     log(f"  [bf16 parity mode, per-block extrapolated: {bf16_edit_s:.1f}s "
         f"-> {60/bf16_edit_s:.3f} edits/min/chip]")
+
+    # Sweep-serving mode (BASELINE config #5): reason_physical_batch runs
+    # one prefill+decode over N items; denoise stays per-item (the chip is
+    # saturated at the 8448-token workload — BASELINE.md).
+    if len(vl) > 1:
+        nb = max(b for b in vl)
+        pre_b, tok_b = vl[nb]
+        item_s = ((pre_b + REASONER_MAX_TOKENS * tok_b + pre_b) / nb
+                  + 2 * enc_s + denoise_s + dec_s)
+        log(f"  [sweep serving, {nb} items/batch (config #5): "
+            f"{item_s:.1f}s/item -> {60/item_s:.3f} edits/min/chip]")
 
     print(json.dumps({
         "metric": "edits_per_min_per_chip_full_pipeline_1024px_40steps",
