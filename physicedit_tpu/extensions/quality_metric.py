@@ -92,18 +92,22 @@ class _ReferenceFreeScore:
 
 class CLIPScore:
     """CLIP text-image cosine similarity via transformers (CPU), the same
-    backbone the reference CLIPScore wraps through open_clip."""
+    backbone the reference CLIPScore wraps through open_clip.
 
-    def __init__(self, path: str):
-        if not os.path.isdir(path):
-            raise GatedMetricError(
-                f"CLIP checkpoint directory not found: {path} — preference "
-                f"models are not downloadable in this environment; place "
-                f"the HF CLIP folder there to enable this metric")
+    `processor_path` lets a finetuned scoring model (PickScore) pair with
+    the base CLIP processor (reference pickscore.py:17-20)."""
+
+    def __init__(self, path: str, processor_path: str | None = None):
+        for p in {path, processor_path or path}:
+            if not os.path.isdir(p):
+                raise GatedMetricError(
+                    f"CLIP checkpoint directory not found: {p} — preference "
+                    f"models are not downloadable in this environment; "
+                    f"place the HF folder there to enable this metric")
         from transformers import CLIPModel, CLIPProcessor
 
         self.model = CLIPModel.from_pretrained(path).eval()
-        self.processor = CLIPProcessor.from_pretrained(path)
+        self.processor = CLIPProcessor.from_pretrained(processor_path or path)
 
     def score(self, images, prompt: str):
         import torch
@@ -144,15 +148,15 @@ class AestheticScore(CLIPScore):
             inputs = self.processor(images=list(images), return_tensors="pt")
             feats = self.model.get_image_features(**inputs)
             feats = (feats / feats.norm(dim=-1, keepdim=True)).numpy()
+        # Reference head (aesthetic.py MLP): plain Linear chain at
+        # Sequential indices {0, 2, 4, 6, 7} — dropout slots, NO
+        # activations (the ReLUs are commented out upstream).
         x = feats
-        n_layers = len([k for k in self.head if k.endswith(".weight")])
-        for i in range(n_layers):
-            w = self.head.get(f"layers.{i}.weight")
-            if w is None:
-                continue
-            x = x @ w.T + self.head.get(f"layers.{i}.bias", 0.0)
-            if i < n_layers - 1:
-                x = np.maximum(x, 0.0)
+        idxs = sorted(int(k.split(".")[1]) for k in self.head
+                      if k.endswith(".weight"))
+        for i in idxs:
+            x = x @ self.head[f"layers.{i}.weight"].T \
+                + self.head.get(f"layers.{i}.bias", 0.0)
         scores = x.reshape(-1).tolist()
         return scores[0] if single else scores
 
@@ -167,7 +171,8 @@ def load_preference_model(model_name: str, device: str = "cpu",
     if model_name == "CLIP":
         return CLIPScore(path["clip"])
     if model_name == "PickScore":
-        return CLIPScore(path["clip"])  # PickScore = finetuned CLIP-H scoring
+        # finetuned CLIP-H weights, base CLIP-H processor (pickscore.py:17-20)
+        return CLIPScore(path["pickscore"], processor_path=path["clip"])
     if model_name == "Aesthetic":
         return AestheticScore(path["clip-large"], path["aesthetic_predictor"])
     raise GatedMetricError(

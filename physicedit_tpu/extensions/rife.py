@@ -122,11 +122,13 @@ def warp(img, flow):
     return top * (1 - tyf) + bot * tyf
 
 
-def _ifblock(p, x, flow, scale: int):
+def _ifblock(p, x, flow, scale: float):
     """IFBlock (RIFE/__init__.py:34-57): downsample by `scale`, conv
-    encoder (stride-4 total), 4 residual double-convs, two deconv heads."""
+    encoder (stride-4 total), 4 residual double-convs, two deconv heads.
+    `scale` may be fractional (the reference passes float 4/2/1 over the
+    user scale, RIFE/__init__.py:163); sizes floor like F.interpolate."""
     b, h, w, _ = x.shape
-    hs, ws = h // scale, w // scale
+    hs, ws = int(h / scale), int(w / scale)
     x = _resize_bilinear(x, hs, ws)
     flow = _resize_bilinear(flow, hs, ws) * (1.0 / scale)
     feat = _conv_s2(p["conv0"][0], jnp.concatenate([x, flow], -1))
@@ -160,10 +162,10 @@ def ifnet_forward(params, img0, img1, scale_list=(4, 2, 1)):
     for i, scale in enumerate(scale_list):
         p = params[f"block{i}"]
         f0, m0 = _ifblock(p, jnp.concatenate([warped0, warped1, mask], -1),
-                          flow, int(scale))
+                          flow, float(scale))
         f1, m1 = _ifblock(p, jnp.concatenate([warped1, warped0, -mask], -1),
                           jnp.concatenate([flow[..., 2:4], flow[..., :2]], -1),
-                          int(scale))
+                          float(scale))
         f1_sw = jnp.concatenate([f1[..., 2:4], f1[..., :2]], -1)
         flow = flow + (f0 + f1_sw) * 0.5
         mask = mask + (m0 - m1) * 0.5
@@ -302,7 +304,7 @@ class RIFEInterpolater:
         self.params = params
 
     def _midpoints(self, frames, scale=1.0, batch_size=4):
-        scale_list = tuple(int(round(s / scale)) for s in (4, 2, 1))
+        scale_list = tuple(float(s) / scale for s in (4, 2, 1))
         outs = []
         for i in range(0, frames.shape[0] - 1, batch_size):
             img0 = jnp.asarray(frames[i:i + batch_size])
@@ -337,7 +339,7 @@ class RIFESmoother(RIFEInterpolater):
             _, _, merged = ifnet_forward(
                 self.params, jnp.asarray(a[i:i + batch_size]),
                 jnp.asarray(b[i:i + batch_size]),
-                scale_list=tuple(int(round(s / scale)) for s in (4, 2, 1)))
+                scale_list=tuple(float(s) / scale for s in (4, 2, 1)))
             outs.append(np.asarray(merged))
         return np.concatenate(outs, 0)
 

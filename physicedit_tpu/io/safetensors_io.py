@@ -89,9 +89,6 @@ KNOWN_HASHES = {
     "6b7116078c4170bfbeaedc8fe71f6649": "esrgan",
 }
 
-# Detectable but intentionally not constructible (documented divergence).
-UNSUPPORTED_LEGACY: set = set()
-
 # Detectable, loadable outside the PhysicEdit pipeline (legacy zoo).
 EXTENSION_LOADERS = {
     "rife": "physicedit_tpu.extensions.rife.load_rife",

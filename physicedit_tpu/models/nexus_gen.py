@@ -109,11 +109,12 @@ def target_embeddings(params, cfg: VL.QwenVLTextConfig, input_ids,
 
     ids = np.asarray(input_ids)
     assert ids.shape[0] == 1, "reference path is single-sample"
-    n_in = int(np.asarray(input_image_embeds).shape[0])
+    d = params["image_prefill_embeds"].shape[-1]
+    vis = jnp.asarray(input_image_embeds,
+                      jnp.float32).reshape(-1, d) if np.asarray(
+        input_image_embeds).size else jnp.zeros((0, d), jnp.float32)
     table = jnp.concatenate([
-        jnp.asarray(input_image_embeds).reshape(n_in, -1).astype(jnp.float32),
-        params["image_prefill_embeds"].astype(jnp.float32),
-    ], axis=0)[None]
+        vis, params["image_prefill_embeds"].astype(jnp.float32)], axis=0)[None]
 
     position_ids = jnp.asarray(get_rope_index(
         ids[0], grids, IMAGE_TOKEN_ID, VISION_START_ID))[:, None, :]

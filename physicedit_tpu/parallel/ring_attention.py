@@ -126,7 +126,11 @@ def ring_attention(q, k, v, key_mask, mesh: Mesh, axis: str = "model",
         # pallas_call outputs carry no varying-manual-axes annotation; the
         # new shard_map VMA checker cannot infer them — disable the check
         # (the kernel is purely per-device; correctness is test-pinned).
-        kw["check_vma"] = False
+        # Older jax spells the flag check_rep.
+        import inspect
+
+        sig = inspect.signature(shard_map).parameters
+        kw["check_vma" if "check_vma" in sig else "check_rep"] = False
     fn = shard_map(
         lambda q_, k_, v_, m_: body(q=q_, k=k_, v=v_, key_mask=m_),
         mesh=mesh,

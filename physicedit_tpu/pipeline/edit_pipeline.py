@@ -97,8 +97,7 @@ class PhysicEditPipeline:
         training export: DiT-LoRA keys are merged into the DiT weights and
         `pipe.*` keys populate the adapters (validate.py:33-65 semantics).
         """
-        from physicedit_tpu.io.safetensors_io import (EXTENSION_LOADERS,
-                                                      UNSUPPORTED_LEGACY)
+        from physicedit_tpu.io.safetensors_io import EXTENSION_LOADERS
 
         parts: dict = {}
         for path in model_paths:
@@ -106,11 +105,6 @@ class PhysicEditPipeline:
             name = detect_model_name(sd)
             if name is None:
                 raise ValueError(f"unrecognised checkpoint: {path}")
-            if name in UNSUPPORTED_LEGACY:
-                raise ValueError(
-                    f"{path} is a '{name}' checkpoint: recognised but not "
-                    f"on the PhysicEdit path (legacy zoo - documented "
-                    f"divergence, SURVEY.md section 7.5)")
             if name in EXTENSION_LOADERS:
                 raise ValueError(
                     f"{path} is a '{name}' checkpoint: not a pipeline part; "

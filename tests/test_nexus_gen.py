@@ -144,6 +144,26 @@ def test_nexus_forward_and_target_embeddings():
                                atol=1e-5)
 
 
+def test_nexus_target_embeddings_t2i_no_reference_image():
+    """T2I path: no reference image -> empty input embeds (regression for
+    the reshape(0, -1) crash)."""
+    from physicedit_tpu.models import nexus_gen as NG
+    from physicedit_tpu.models import qwen_vl as VL
+
+    cfg = VL.QwenVLTextConfig(num_layers=1, hidden_size=32, num_heads=2,
+                              num_kv_heads=1, head_dim=16,
+                              intermediate_size=48, vocab_size=151700,
+                              mrope_section=(2, 3, 3), rope_theta=1e4)
+    params = NG.init_nexus_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    ids = np.asarray([[5, NG.VISION_START_ID]
+                      + [NG.IMAGE_TOKEN_ID] * NG.NUM_IMG_TOKENS
+                      + [NG.VISION_END_ID, 9]], np.int32)
+    out = NG.target_embeddings(params, cfg, ids, np.zeros((0,), np.float32),
+                               [(1, 18, 18)])
+    assert out.shape == (NG.NUM_IMG_TOKENS, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_nexus_messages():
     from physicedit_tpu.models import nexus_gen as NG
 

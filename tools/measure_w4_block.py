@@ -28,23 +28,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-CHAIN = 6
+from tools._bench import chain_time as _ct  # noqa: E402
 
 
 def chain_time(step_fn, init, reps=3):
-    @jax.jit
-    def run(c):
-        return jax.lax.fori_loop(0, CHAIN, lambda _, c: step_fn(c), c)
-
-    c = run(init)
-    float(jnp.asarray(c[0]).astype(jnp.float32).sum())
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        c = run(c)
-        float(jnp.asarray(c[0]).astype(jnp.float32).sum())
-        best = min(best, (time.perf_counter() - t0) / CHAIN)
-    return best
+    return _ct(step_fn, init, chain=6, reps=reps)
 
 
 def main():

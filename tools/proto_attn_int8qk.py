@@ -101,23 +101,11 @@ def fixedmax_int8qk(q, k, v, key_bias, block_q, block_k):
     )(qq, kq, v, qs, ks, key_bias)
 
 
+from tools._bench import chain_time as _ct  # noqa: E402
+
+
 def chain_time(step_fn, init, reps=3):
-    CHAIN = 6
-
-    @jax.jit
-    def run(x):
-        return jax.lax.fori_loop(0, CHAIN, lambda _, x: step_fn(x), x)
-
-    x = run(init)
-    float(jnp.asarray(x).astype(jnp.float32).sum())
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        y = run(x)
-        float(jnp.asarray(y).astype(jnp.float32).sum())
-        best = min(best, (time.perf_counter() - t0) / CHAIN)
-        x = y
-    return best
+    return _ct(step_fn, init, chain=6, reps=reps)
 
 
 def main():

@@ -65,24 +65,7 @@ def i32_matmul(x_q, packed, x_scale, wsb, bm, bn, bk2):
     )(x_q, x_q, packed, x_scale, wsb)
 
 
-CHAIN = 8
-
-
-def chain_time(step_fn, init, reps=3):
-    @jax.jit
-    def run(x):
-        return jax.lax.fori_loop(0, CHAIN, lambda _, x: step_fn(x), x)
-
-    x = run(init)
-    float(jnp.asarray(x).astype(jnp.float32).sum())
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        y = run(x)
-        float(jnp.asarray(y).astype(jnp.float32).sum())
-        best = min(best, (time.perf_counter() - t0) / CHAIN)
-        x = y
-    return best
+from tools._bench import chain_time  # noqa: E402
 
 
 def main():

@@ -29,24 +29,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-CHAIN = 16
+from tools._bench import chain_time as _ct  # noqa: E402
 
 
 def chain_time(step_fn, init, reps=3):
-    @jax.jit
-    def run(x):
-        return jax.lax.fori_loop(0, CHAIN, lambda _, x: step_fn(x), x)
-
-    x = run(init)
-    float(jnp.asarray(x).astype(jnp.float32).sum())
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        y = run(x)
-        float(jnp.asarray(y).astype(jnp.float32).sum())
-        best = min(best, (time.perf_counter() - t0) / CHAIN)
-        x = y
-    return best
+    return _ct(step_fn, init, chain=16, reps=reps)
 
 
 # AND-only kernel (offset encoding), M=8-padded gemv
@@ -80,6 +67,9 @@ def gemv_and_only(x_q, packed, block_n=1024, block_k2=None):
     k2, n = packed.shape
     if block_k2 is None:
         block_k2 = k2
+    # the x BlockSpec below slices 2*block_k2 contiguous columns, which
+    # only matches the global lo/hi split when there is a single k step
+    assert block_k2 == k2, "gemv kernel requires full-K blocks"
     rs = 8 * jnp.sum(x_q[:, :k2].astype(jnp.int32), axis=1, keepdims=True)
     nn, nk = n // block_n, k2 // block_k2
     return pl.pallas_call(
@@ -133,8 +123,7 @@ def main():
         if k % 2:
             continue
         wq = rng.integers(-7, 8, (k, n)).astype(np.int8)
-        packed_std = ((wq[k // 2:].astype(np.int8) << 4)
-                      | (wq[: k // 2] & 0xF)).astype(np.int8)
+        packed_std = pack_offset(wq)   # one encoding everywhere now
         packed_off = pack_offset(wq)
         w8 = jnp.asarray(wq)
         p_std = jnp.asarray(packed_std)

@@ -36,26 +36,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-CHAIN = 8
-
-
-def chain_time(step_fn, init, reps=3):
-    @jax.jit
-    def run(x):
-        return jax.lax.fori_loop(0, CHAIN, lambda _, x: step_fn(x), x)
-
-    x = init
-    x = run(x)
-    jax.block_until_ready(x)
-    float(jnp.asarray(x).astype(jnp.float32).sum())
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        y = run(x)
-        float(jnp.asarray(y).astype(jnp.float32).sum())
-        best = min(best, (time.perf_counter() - t0) / CHAIN)
-        x = y
-    return best
+from tools._bench import chain_time  # noqa: E402
 
 
 # --- candidate kernel -------------------------------------------------------

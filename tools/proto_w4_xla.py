@@ -23,29 +23,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-CHAIN = 8
-
-
-def chain_time(step_fn, init, reps=3):
-    @jax.jit
-    def run(x):
-        return jax.lax.fori_loop(0, CHAIN, lambda _, x: step_fn(x), x)
-
-    x = run(init)
-    float(jnp.asarray(x).astype(jnp.float32).sum())
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        y = run(x)
-        float(jnp.asarray(y).astype(jnp.float32).sum())
-        best = min(best, (time.perf_counter() - t0) / CHAIN)
-        x = y
-    return best
+from tools._bench import chain_time  # noqa: E402
 
 
 def unpack_w4(packed):
-    """[K/2, N] int8 packed -> [K, N] int8 (XLA: shifts legal here)."""
-    lo = ((packed << 4) >> 4).astype(jnp.int8)   # sign-extended low nibble
+    """[K/2, N] int8 packed -> [K, N] int8 (offset-encoded low nibble,
+    kernels/quant_matmul.py docstring)."""
+    lo = ((packed & jnp.int8(15)) - jnp.int8(8)).astype(jnp.int8)
     hi = (packed >> 4).astype(jnp.int8)
     return jnp.concatenate([lo, hi], axis=0)
 
