@@ -172,9 +172,11 @@ def bench_vl(cfg_name="w4", batch_sizes=(1, 4)):
             return time.perf_counter() - t0, logits, caches
 
         prefill_once(0)                  # compile
+        # min over several calls: the tunnelled link adds 100s-of-ms jitter
         prefill_s, logits, caches = prefill_once(1)
-        t2, _, _ = prefill_once(2)
-        prefill_s = min(prefill_s, t2)
+        for i in (2, 3, 4):
+            t, logits, caches = prefill_once(i)
+            prefill_s = min(prefill_s, t)
         log(f"vl prefill B={b} S={s}: {prefill_s*1e3:.0f} ms")
 
         n_dec = 32
