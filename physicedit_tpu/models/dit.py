@@ -264,7 +264,9 @@ def dit_forward(params, cfg: DiTConfig, img_tokens, txt_tokens, timestep,
         model_fn_qwen_image at qwen_image_physical.py:1344-1355).
     txt_tokens: [B, S_t, 3584] prompt embeddings (zero-padded).
     timestep:   [B] in [0, 1] (the reference divides by 1000 before calling).
-    img_cos/img_sin: [S_i, 64]; txt_cos/txt_sin: [S_t, 64] RoPE tables.
+    img_cos/img_sin: [S_i, 64]; txt_cos/txt_sin: [S_t, 64] RoPE tables —
+        or [B, 1, S_t, 64] for per-CFG-row text rope (EliGen segments on
+        the positive row only; apply_rope broadcasts either shape).
     txt_key_mask: [B, S_t] bool, False for padded text tokens.
 
     Returns [B, S_i, 64] output tokens (caller slices to the base image and

@@ -267,7 +267,13 @@ class PhysicEditPipeline:
             noise = torch.randn((shape[0], c, h, w), generator=gen, dtype=tdt)
             arr = noise.float().numpy().transpose(0, 2, 3, 1)
             return jnp.asarray(arr, self.dtype)
-        key = jax.random.PRNGKey(0 if seed is None else seed)
+        if seed is None:
+            # fresh entropy per call (torch's seed=None draws a new
+            # generator state; PRNGKey(0) would silently repeat noise)
+            import os as _os
+
+            seed = int.from_bytes(_os.urandom(8), "little") >> 1
+        key = jax.random.PRNGKey(seed)
         return jax.random.normal(key, shape, self.dtype)
 
     def encode_image(self, image) -> jax.Array:
@@ -562,11 +568,24 @@ class PhysicEditPipeline:
                                           base_tokens)
 
             # Per-segment text rope (restarts at max_vid_index per segment).
+            # PER ROW: the reference runs the CFG branches as separate
+            # forwards with their own rotary embeddings, so the negative
+            # row (no entity segments unless eligen_enable_on_negative)
+            # must get a plain, non-segmented table.
             mvi = m_rope.max_vid_index_of(img_shapes)
-            cs = [m_rope.text_rope_tables(l, mvi, self.rope_axes)
-                  for l in seq_lens_p]
-            txt_tables = (np.concatenate([c for c, _ in cs]),
-                          np.concatenate([s for _, s in cs]))
+
+            def seg_tables(lens):
+                cs = [m_rope.text_rope_tables(l, mvi, self.rope_axes)
+                      for l in lens]
+                return (np.concatenate([c for c, _ in cs]),
+                        np.concatenate([s for _, s in cs]))
+
+            txt_tables = [seg_tables(seq_lens_p)]
+            if use_cfg:
+                txt_tables.append(
+                    seg_tables(seq_lens_n) if seq_lens_n is not None
+                    else m_rope.text_rope_tables(emb_n.shape[0], mvi,
+                                                 self.rope_axes))
         else:
             bias_p = None
 
@@ -633,12 +652,21 @@ class PhysicEditPipeline:
             img_shapes, s_t, edit_rope_interpolation=edit_rope_interpolation,
             axes_dim=self.rope_axes)
         if txt_tables is not None:
-            tc, ts = txt_tables
-            if tc.shape[0] < s_t:  # pad (masked positions)
-                padlen = s_t - tc.shape[0]
-                tc = np.concatenate([tc, np.ones((padlen, tc.shape[1]), np.float32)])
-                ts = np.concatenate([ts, np.zeros((padlen, ts.shape[1]), np.float32)])
-            ropes = (ropes[0], ropes[1], tc[:s_t], ts[:s_t])
+            def padtab(tc, ts):
+                if tc.shape[0] < s_t:  # pad (masked positions)
+                    padlen = s_t - tc.shape[0]
+                    tc = np.concatenate(
+                        [tc, np.ones((padlen, tc.shape[1]), np.float32)])
+                    ts = np.concatenate(
+                        [ts, np.zeros((padlen, ts.shape[1]), np.float32)])
+                return tc[:s_t], ts[:s_t]
+
+            rows = [padtab(tc, ts) for tc, ts in txt_tables]
+            # [B, 1, s_t, 64]: broadcasts over heads in apply_rope, giving
+            # each CFG row its own per-segment (or plain) text rope
+            tc = np.stack([r[0] for r in rows])[:, None]
+            ts = np.stack([r[1] for r in rows])[:, None]
+            ropes = (ropes[0], ropes[1], tc, ts)
 
         latents = denoise(
             self.dit_params, self.dit_cfg, latents,

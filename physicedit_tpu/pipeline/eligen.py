@@ -47,6 +47,15 @@ def build_entity_bias(entity_masks_latent: list, seq_lens: list,
 
     starts = np.concatenate([[0], np.cumsum(seq_lens)]).astype(int)
     img_start = txt_total
+    # The reference has the same exact-multiple constraint (repeat_time =
+    # single_image_seq // mask_len then a fixed-width assignment,
+    # qwen_image_dit.py:477-484) — surface it instead of a broadcast error.
+    if image_seq_len % base_image_tokens:
+        raise ValueError(
+            f"EliGen entity masks need the joint image sequence "
+            f"({image_seq_len} tokens) to be a whole multiple of the base "
+            f"grid ({base_image_tokens}): give edit/context images the "
+            f"output resolution")
     repeat = image_seq_len // base_image_tokens
 
     presence = [np.tile(patch_presence(m), repeat) for m in entity_masks_latent]

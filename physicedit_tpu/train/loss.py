@@ -114,10 +114,17 @@ def physic_training_loss(
         use_remat=use_remat, lora=trainable.get("lora"))
     v = unpatchify(v[:, :s_base], h, w)
 
-    mse = jnp.mean(jnp.square(v.astype(jnp.float32) - target.astype(jnp.float32)))
+    # Per-sample weighting (reference training_loss, qwen_image_physical
+    # .py:324-328 applies each sample's bell weight to ITS error): weight_i
+    # scales sample i's mean-square error, then average over the batch —
+    # NOT mean(weight) * mean(mse), which mis-weights mixed-timestep
+    # batches.
+    sq = jnp.square(v.astype(jnp.float32) - target.astype(jnp.float32))
+    per_sample = jnp.mean(sq.reshape(sq.shape[0], -1), axis=1)
+    mse = jnp.mean(per_sample)
     adapter = dual_adapter_loss(
         pred_dino, pred_vae, gt_dino, gt_vae, batch["timestep"], t_min, t_max)
-    loss = mse * jnp.mean(batch["weight"]) + adapter
+    loss = jnp.mean(per_sample * batch["weight"].astype(jnp.float32)) + adapter
     return loss, {"mse": mse, "special_token_loss": adapter}
 
 

@@ -132,10 +132,24 @@ class Trainer:
 
             from physicedit_tpu.parallel import sharding as shd
 
-            self.frozen = {"dit": shd.shard_params(
-                pipe.dit_params, shd.dit_param_specs(pipe.dit_params), mesh)}
             rep = lambda t: jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, NamedSharding(mesh, P())), t)
+            if cfg.quantize_frozen == "w4":
+                # int4 residency + mesh: the packed-nibble layout cannot
+                # ride the bf16 tensor-parallel specs (K is packed two-
+                # per-byte with a global lo/hi split), so the quantized
+                # tree replicates over a data-parallel mesh and TP is
+                # rejected — they are alternative memory strategies.
+                if mesh.shape.get(shd.MODEL_AXIS, 1) != 1:
+                    raise ValueError(
+                        "quantize_frozen='w4' is the single-chip/DP "
+                        "residency plan; tensor-parallel meshes use bf16 "
+                        "sharding (pick one)")
+                self.frozen = {"dit": rep(self.frozen["dit"])}
+            else:
+                self.frozen = {"dit": shd.shard_params(
+                    pipe.dit_params, shd.dit_param_specs(pipe.dit_params),
+                    mesh)}
             self.trainable = rep(self.trainable)
             self.opt_state = rep(self.opt_state)
 
@@ -173,10 +187,14 @@ class Trainer:
         # Weights-only resume: fresh optimizer state (reference behaviour,
         # train_physicedit.py:578-580).
         self.opt_state = self.optimizer.init(self.trainable)
-        self.global_step, self.start_epoch, self.skip_batches = ckpt.resume_position(
-            meta, num_processes=1, batches_per_epoch=len(self.dataset))
+        # global_step counts OPTIMIZER steps (batch_size samples each),
+        # while the epoch loop skips by dataset index — convert.
+        self.global_step, self.start_epoch, skip_steps = ckpt.resume_position(
+            meta, num_processes=1,
+            batches_per_epoch=max(len(self.dataset) // self.cfg.batch_size, 1))
+        self.skip_batches = skip_steps * self.cfg.batch_size
         print(f"[RESUME] step={self.global_step} epoch={self.start_epoch} "
-              f"skip={self.skip_batches}")
+              f"skip={self.skip_batches} samples")
 
     # ------------------------------------------------------------------
 
@@ -368,6 +386,7 @@ class Trainer:
         cfg = self.cfg
         frozen = self.frozen
         pending = []
+        skipped = 0
         for epoch in range(self.start_epoch, cfg.num_epochs):
             for i in range(len(self.dataset)):
                 if epoch == self.start_epoch and i < self.skip_batches:
@@ -378,6 +397,7 @@ class Trainer:
                 micro = (self._refresh_noise(sample) if cfg.cached_inputs
                          else self.preprocess(sample))
                 if micro is None:
+                    skipped += 1
                     continue
                 pending.append(micro)
                 if len(pending) < cfg.batch_size:
@@ -399,6 +419,20 @@ class Trainer:
                 if cfg.eval_every_n_steps and \
                         self.global_step % cfg.eval_every_n_steps == 0:
                     self.evaluate((i + 1) % len(self.dataset))
+            if self.global_step == 0:
+                # every sample was skipped — e.g. an image-pair dataset
+                # (Pica100k) without middle_key_frames: the PhysicEdit
+                # loss needs the visual-prior frames (SURVEY P4/P9);
+                # fail loudly instead of saving untrained checkpoints
+                raise RuntimeError(
+                    f"epoch {epoch} produced no training steps "
+                    f"({skipped} samples skipped): this trainer's "
+                    f"PhysicEdit loss requires middle_key_frames "
+                    f"(PhysicTran-style video data)")
+            if skipped:
+                print(f"[TRAIN] epoch {epoch}: skipped {skipped} samples "
+                      f"without usable key frames/special tokens")
+                skipped = 0
             self.save(epoch)
 
     def evaluate(self, sample_idx: int = 0, seed: int = 42,
@@ -409,12 +443,24 @@ class Trainer:
         reference's shared-scheduler-state pitfall does not exist here)."""
         from PIL import Image
 
+        if self.cfg.cached_inputs:
+            # cached datasets yield preprocessed tensor dicts, not
+            # prompt/PIL samples — the reference's eval probe has no
+            # equivalent in its launch_data_process_task mode either
+            print("[EVAL] skipped: cached_inputs datasets carry no "
+                  "prompt/image samples to generate from")
+            return None
         sample = self.dataset[sample_idx]
         if sample is None:
             return None
         pipe = self.pipe
-        pipe.adapters = dict(pipe.adapters, **self.trainable["adapters"])
-        pipe.dit_lora = self.trainable["lora"]
+        saved_adapters = pipe.adapters
+        # copy: train_step donates the trainable buffers, so the pipeline
+        # must not keep references to the live arrays after this eval
+        copy = jax.tree_util.tree_map(jnp.array, self.trainable["adapters"])
+        pipe.adapters = dict(pipe.adapters, **copy)
+        pipe.dit_lora = jax.tree_util.tree_map(jnp.array,
+                                               self.trainable["lora"])
         try:
             out = pipe(sample["prompt"], edit_image=sample["edit_image"],
                        seed=seed, num_inference_steps=num_inference_steps,
@@ -422,6 +468,7 @@ class Trainer:
                        have_text_reasoning=False, edit_image_auto_resize=False)
         finally:
             pipe.dit_lora = None
+            pipe.adapters = saved_adapters
         size = (self.cfg.width, self.cfg.height)
         strip = Image.new("RGB", (size[0] * 3, size[1]))
         strip.paste(sample["edit_image"].resize(size), (0, 0))

@@ -111,11 +111,14 @@ class ImageCropAndResize(DataProcessingOperator):
 
     def target_size(self, image):
         if self.height is None or self.width is None:
+            from physicedit_tpu.train.dataset import fit_resolution
+
             w, h = image.size
-            if w * h > self.max_pixels:
-                scale = (w * h / self.max_pixels) ** 0.5
-                h, w = int(h / scale), int(w / scale)
-            return h // self.hdiv * self.hdiv, w // self.wdiv * self.wdiv
+            # shared helper keeps the >= division-factor floor (a 3000x12
+            # banner would otherwise round to a 0-height target)
+            th, _ = fit_resolution(w, h, self.max_pixels, self.hdiv)
+            _, tw = fit_resolution(w, h, self.max_pixels, self.wdiv)
+            return th, tw
         return self.height, self.width
 
     def __call__(self, image):

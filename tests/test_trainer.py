@@ -164,6 +164,32 @@ def test_collate_pads_text_axis(trainer):
     assert batch["txt_cos"].shape[0] == batch["prompt_emb"].shape[1]
 
 
+def test_per_sample_loss_weighting(trainer):
+    """Each sample's bell weight scales ITS OWN error (reference
+    training_loss, qwen_image_physical.py:324-328) — the batched loss must
+    equal the mean of the single-sample losses, which mean(weight)*mean(mse)
+    does not satisfy for mixed-timestep batches."""
+    from physicedit_tpu.train.loss import physic_training_loss
+
+    b1 = trainer.preprocess(trainer.dataset[0])
+    b2 = trainer.preprocess(trainer.dataset[1])
+    # force very different weights so the old formula visibly diverges
+    b1 = dict(b1, weight=np.asarray([5.0], np.float32))
+    b2 = dict(b2, weight=np.asarray([0.1], np.float32))
+    frozen = {"dit": trainer.pipe.dit_params}
+
+    def loss_of(batch):
+        l, _ = physic_training_loss(
+            trainer.trainable, frozen, trainer.pipe.dit_cfg, batch,
+            trainer.t_min, trainer.t_max)
+        return float(l)
+
+    batched = loss_of(trainer.collate([b1, b2]))
+    singles = 0.5 * (loss_of(trainer.collate([b1]))
+                     + loss_of(trainer.collate([b2])))
+    np.testing.assert_allclose(batched, singles, rtol=2e-3)
+
+
 def test_data_parallel_training_step(trainer):
     """One train step on a (2, 4) mesh with a collated global batch of 2."""
     import jax
