@@ -358,6 +358,28 @@ def _w4a8_linear_impl(p: dict, x: jax.Array) -> jax.Array:
             out = out + p["b"].astype(jnp.float32)
         return out.reshape(*lead, n).astype(x.dtype)
     xq, xs = quantize_rows(x2)
+    return _w4a8_from_q(p, xq, xs, lead, x.dtype)
+
+
+def w4a8_linear_q(p: dict, xq: jax.Array, xs: jax.Array, out_dtype) -> jax.Array:
+    """W4A8 linear on pre-quantized activations.
+
+    xq: [..., K] int8 rows; xs: [..., 1] f32 row scales (as produced by
+    kernels/fused_quant.py).  Inference-only — no VJP.
+    """
+    *lead, k = xq.shape
+    k2, n = p["w4"].shape
+    assert k == 2 * k2 and k2 % 128 == 0 and n % 128 == 0, (xq.shape, p["w4"].shape)
+    m = 1
+    for s in lead:
+        m *= s
+    return _w4a8_from_q(p, xq.reshape(m, k), xs.reshape(m, 1), lead,
+                        jnp.dtype(out_dtype))
+
+
+def _w4a8_from_q(p: dict, xq, xs, lead, out_dtype) -> jax.Array:
+    m, _ = xq.shape
+    k2, n = p["w4"].shape
     # Small/medium M is weight-read-bound: the fused kernel reads 0.5
     # byte/weight vs the XLA path's 2.5 (unpack round-trip).  Measured
     # crossover: DiT M=16896 is ~2% faster via XLA (38.6 vs 39.5
@@ -371,7 +393,7 @@ def _w4a8_linear_impl(p: dict, x: jax.Array) -> jax.Array:
                * p["w_scale"].astype(jnp.float32)[None, :])
         if "b" in p:
             out = out + p["b"].astype(jnp.float32)
-        return out.reshape(*lead, n).astype(x.dtype)
+        return out.reshape(*lead, n).astype(out_dtype)
 
     def pick(dim, candidates, fallback):
         for c in candidates:
@@ -391,7 +413,7 @@ def _w4a8_linear_impl(p: dict, x: jax.Array) -> jax.Array:
     bias = (p["b"].astype(jnp.float32) if "b" in p
             else jnp.zeros((n,), jnp.float32))
     wsb = jnp.stack([p["w_scale"].astype(jnp.float32), bias])
-    out = _w4a8_matmul(xq, p["w4"], xs.astype(jnp.float32), wsb, x.dtype,
+    out = _w4a8_matmul(xq, p["w4"], xs.astype(jnp.float32), wsb, out_dtype,
                        block_m=bm, block_n=bn, block_k2=bk2,
                        variant="and" if m < 256 else "i32")
     if pad_m:

@@ -38,6 +38,12 @@ from physicedit_tpu.ops.rope import apply_rope
 # program).
 _RING_CTX = {"mesh": None, "axis": "model"}
 
+# Fuse the AdaLN-modulate / GELU into the int8 row-quantize (one HBM pass
+# per W4A8 GEMM input, kernels/fused_quant.py).  Kill switch for debugging.
+import os as _os  # noqa: E402
+
+_FUSED_ACT_QUANT = _os.environ.get("PHYSICEDIT_FUSED_ACT_QUANT", "1") != "0"
+
 
 def set_ring_context(mesh, axis: str = "model"):
     _RING_CTX["mesh"] = mesh
@@ -166,6 +172,26 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
     s_t = text.shape[1]
     n, hd = cfg.num_heads, cfg.head_dim
 
+    # Fused modulate->int8 path (kernels/fused_quant.py): one HBM pass per
+    # GEMM input instead of three.  Applies only to frozen packed-int4
+    # weights with no LoRA factors (inference; the kernels have no VJP).
+    use_fq = (_FUSED_ACT_QUANT and lora is None
+              and "w4" in p["attn"]["img_qkv"]
+              and p["attn"]["img_qkv"]["w4"].shape[0] % 128 == 0)
+
+    def mod_linear(p_lin, x, shift, scale, name):
+        """linear(p_lin, modulate(x, shift, scale)) with optional fusion."""
+        if use_fq and "w4" in p_lin:
+            from physicedit_tpu.kernels.fused_quant import ln_mod_quant
+            from physicedit_tpu.kernels.quant_matmul import w4a8_linear_q
+
+            fq = ln_mod_quant(x, shift, scale, cfg.eps)
+            if fq is not None:
+                return w4a8_linear_q(p_lin, *fq, x.dtype)
+        xn = _modulate(x, shift, scale, cfg.eps)
+        return with_lora(linear(p_lin, xn), name, xn,
+                         fused=name.endswith("qkv"))
+
     img_mod = with_lora(linear(p["img_mod"], temb_silu[:, None, :]),
                         "img_mod", temb_silu[:, None, :])[:, 0]
     txt_mod = with_lora(linear(p["txt_mod"], temb_silu[:, None, :]),
@@ -173,15 +199,12 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
     im_sh1, im_sc1, im_g1, im_sh2, im_sc2, im_g2 = jnp.split(img_mod, 6, axis=-1)
     tx_sh1, tx_sc1, tx_g1, tx_sh2, tx_sc2, tx_g2 = jnp.split(txt_mod, 6, axis=-1)
 
-    img_n = _modulate(image, im_sh1, im_sc1, cfg.eps)
-    txt_n = _modulate(text, tx_sh1, tx_sc1, cfg.eps)
-
     # Fused per-stream QKV projections -> heads-major [3, B, N, S, D] (one
     # transpose here, none around RoPE or the attention kernel).
-    img_qkv = with_lora(linear(p["attn"]["img_qkv"], img_n), "img_qkv",
-                        img_n, fused=True).reshape(b, s_i, 3, n, hd)
-    txt_qkv = with_lora(linear(p["attn"]["txt_qkv"], txt_n), "txt_qkv",
-                        txt_n, fused=True).reshape(b, s_t, 3, n, hd)
+    img_qkv = mod_linear(p["attn"]["img_qkv"], image, im_sh1, im_sc1,
+                         "img_qkv").reshape(b, s_i, 3, n, hd)
+    txt_qkv = mod_linear(p["attn"]["txt_qkv"], text, tx_sh1, tx_sc1,
+                         "txt_qkv").reshape(b, s_t, 3, n, hd)
     img_qkv = img_qkv.transpose(2, 0, 3, 1, 4)
     txt_qkv = txt_qkv.transpose(2, 0, 3, 1, 4)
     iq, ik, iv = img_qkv[0], img_qkv[1], img_qkv[2]
@@ -237,14 +260,23 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
     text = text + tx_g1[:, None, :] * with_lora(
         linear(p["attn"]["to_add_out"], txt_attn), "to_add_out", txt_attn)
 
-    img_m = _modulate(image, im_sh2, im_sc2, cfg.eps)
-    txt_m = _modulate(text, tx_sh2, tx_sc2, cfg.eps)
-    img_h = approximate_gelu(linear(p["img_mlp"]["fc1"], img_m))
-    txt_h = approximate_gelu(linear(p["txt_mlp"]["fc1"], txt_m))
-    image = image + im_g2[:, None, :] * with_lora(
-        linear(p["img_mlp"]["fc2"], img_h), "img_mlp_fc2", img_h)
-    text = text + tx_g2[:, None, :] * with_lora(
-        linear(p["txt_mlp"]["fc2"], txt_h), "txt_mlp_fc2", txt_h)
+    def mlp(p_mlp, x, shift, scale, fc2_name):
+        h_raw = mod_linear(p_mlp["fc1"], x, shift, scale,
+                           fc2_name.replace("fc2", "fc1"))
+        if use_fq and "w4" in p_mlp["fc2"]:
+            from physicedit_tpu.kernels.fused_quant import gelu_quant
+            from physicedit_tpu.kernels.quant_matmul import w4a8_linear_q
+
+            gq = gelu_quant(h_raw)
+            if gq is not None:
+                return w4a8_linear_q(p_mlp["fc2"], *gq, x.dtype)
+        h = approximate_gelu(h_raw)
+        return with_lora(linear(p_mlp["fc2"], h), fc2_name, h)
+
+    image = image + im_g2[:, None, :] * mlp(
+        p["img_mlp"], image, im_sh2, im_sc2, "img_mlp_fc2")
+    text = text + tx_g2[:, None, :] * mlp(
+        p["txt_mlp"], text, tx_sh2, tx_sc2, "txt_mlp_fc2")
     return text, image
 
 

@@ -125,3 +125,107 @@ def test_w4a8_differentiable_in_composition():
     gA, gB = jax.grad(loss, argnums=(0, 1))(A, B)
     assert np.isfinite(np.asarray(gA)).all() and np.abs(np.asarray(gA)).max() > 0
     assert np.isfinite(np.asarray(gB)).all() and np.abs(np.asarray(gB)).max() > 0
+
+
+# ---------------------------------------------------------------------------
+# Fused activation-quantize kernels (kernels/fused_quant.py)
+# ---------------------------------------------------------------------------
+
+def test_ln_mod_quant_matches_unfused():
+    from physicedit_tpu.kernels import fused_quant as fq
+    from physicedit_tpu.ops.norms import layer_norm
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 128, 256)) * 0.7, jnp.bfloat16)
+    shift = jnp.asarray(rng.normal(size=(2, 256)) * 0.2, jnp.bfloat16)
+    scale = jnp.asarray(rng.normal(size=(2, 256)) * 0.2, jnp.bfloat16)
+
+    out = fq.ln_mod_quant(x, shift, scale, 1e-6)
+    assert out is not None
+    q, s = out
+
+    y = (layer_norm(x, eps=1e-6) * (1.0 + scale[:, None, :])
+         + shift[:, None, :])
+    _, s_ref = qm.quantize_rows(y)
+    # XLA keeps f32 through fused bf16 elementwise chains while the kernel
+    # rounds per-op, so values differ by ~1 bf16 ulp — compare the fused
+    # dequantized output against the pre-quantization value with a
+    # half-quant-step + bf16-noise bound.
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-2)
+    deq = np.asarray(q, np.float32) * np.asarray(s)
+    yf = np.asarray(y, np.float32)
+    tol = 0.55 * np.asarray(s) + 0.02 * np.abs(yf)
+    assert (np.abs(deq - yf) <= tol).all()
+
+
+def test_gelu_quant_matches_unfused():
+    from physicedit_tpu.kernels import fused_quant as fq
+    from physicedit_tpu.ops.norms import approximate_gelu
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 64, 512)) * 2.0, jnp.bfloat16)
+    out = fq.gelu_quant(x)
+    assert out is not None
+    q, s = out
+    y = approximate_gelu(x)
+    _, s_ref = qm.quantize_rows(y)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-2)
+    deq = np.asarray(q, np.float32) * np.asarray(s)
+    yf = np.asarray(y, np.float32)
+    tol = 0.55 * np.asarray(s) + 0.02 * np.abs(yf)
+    assert (np.abs(deq - yf) <= tol).all()
+
+
+def test_fused_quant_shape_fallbacks():
+    from physicedit_tpu.kernels import fused_quant as fq
+
+    x = jnp.zeros((2, 100, 120), jnp.bfloat16)  # K not /128
+    assert fq.gelu_quant(x) is None
+    x = jnp.zeros((2, 13, 256), jnp.bfloat16)   # S has no tile divisor
+    assert fq.ln_mod_quant(x, jnp.zeros((2, 256), jnp.bfloat16),
+                           jnp.zeros((2, 256), jnp.bfloat16)) is None
+
+
+def test_w4_block_fused_path_matches_unfused():
+    """block_forward with the fused modulate/GELU->int8 path on vs off:
+    same quantized math, near-identical outputs."""
+    import jax as _jax
+    from physicedit_tpu.core.params import random_tree_like
+    from physicedit_tpu.models import dit as jdit
+    from physicedit_tpu.ops import rope as jrope
+
+    cfg = jdit.DiTConfig(num_layers=1, dim=256, num_heads=4, head_dim=64,
+                         txt_in_dim=128)
+    shapes = _jax.eval_shape(lambda: qm.quantize_tree_int4(
+        jdit.init_dit_params(_jax.random.PRNGKey(0), cfg, jnp.bfloat16),
+        min_size=1))
+    params = random_tree_like(3, shapes)
+    blk = _jax.tree_util.tree_map(lambda a: a[0], params["blocks"])
+
+    rng = np.random.default_rng(9)
+    b, grid, s_t = 2, 8, 64
+    tabs = [jnp.asarray(t) for t in jrope.build_rope_tables(
+        [(1, grid, grid)], s_t, axes_dim=(4, 30, 30))]
+    mask = jnp.ones((b, grid * grid + s_t), bool)
+    temb = jnp.asarray(rng.normal(size=(b, 256)) * 0.1, jnp.bfloat16)
+    text = jnp.asarray(rng.normal(size=(b, s_t, 256)) * 0.5, jnp.bfloat16)
+    image = jnp.asarray(rng.normal(size=(b, grid * grid, 256)) * 0.5,
+                        jnp.bfloat16)
+
+    def run():
+        return jdit.block_forward(blk, cfg, image, text, temb, *tabs, mask)
+
+    orig = jdit._FUSED_ACT_QUANT
+    try:
+        jdit._FUSED_ACT_QUANT = True
+        t_f, i_f = run()
+        jdit._FUSED_ACT_QUANT = False
+        t_u, i_u = run()
+    finally:
+        jdit._FUSED_ACT_QUANT = orig
+    np.testing.assert_allclose(np.asarray(i_f, np.float32),
+                               np.asarray(i_u, np.float32),
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(t_f, np.float32),
+                               np.asarray(t_u, np.float32),
+                               rtol=0.05, atol=0.05)
