@@ -108,7 +108,44 @@ def _gqa_attention(q, k, v, mask_bias):
 
 
 def _mlp(p, x):
+    if "gate_up" in p:
+        gu = linear(p["gate_up"], x)
+        g, u = jnp.split(gu, 2, axis=-1)
+        return linear(p["down"], jax.nn.silu(g) * u)
     return linear(p["down"], jax.nn.silu(linear(p["gate"], x)) * linear(p["up"], x))
+
+
+def fuse_decode_projections(params: dict) -> dict:
+    """Concatenate q/k/v -> 'qkv' and gate/up -> 'gate_up' along the output
+    axis: one GEMM launch + one activation row-quantize where there were
+    three (the weight-read-bound decode is launch-latency sensitive; at
+    M=1 every saved dispatch and amax pass is pure win).
+
+    Exact math: per-output-channel weight scales concatenate unchanged, so
+    float AND packed-int4 ({'w4','w_scale'}) leaves fuse bitwise-identically.
+    _layer/_mlp dispatch on the fused keys, so unfused trees keep working
+    (HF parity tests, sharded multi-chip specs)."""
+
+    def cat(leaves):
+        # the output-channel axis is always the LAST one, for w [.., K, N],
+        # w4 [.., K/2, N], w_scale [.., N] and b [.., N] alike (stacked-layer
+        # leaves carry a leading L axis)
+        return {key: jnp.concatenate([l[key] for l in leaves], axis=-1)
+                for key in leaves[0]}
+
+    def fix_layer(lp):
+        lp = dict(lp)
+        if "q" in lp and all(set(lp[k]) == set(lp["q"]) for k in ("k", "v")):
+            lp["qkv"] = cat([lp.pop("q"), lp.pop("k"), lp.pop("v")])
+        mlp = dict(lp["mlp"])
+        if "gate" in mlp and set(mlp["gate"]) == set(mlp["up"]):
+            mlp["gate_up"] = cat([mlp.pop("gate"), mlp.pop("up")])
+        lp["mlp"] = mlp
+        return lp
+
+    params = dict(params)
+    params["layers"] = fix_layer(params["layers"])
+    return params
 
 
 def _layer(p, cfg: QwenVLTextConfig, x, cos, sin, mask_bias, kv_cache=None,
@@ -119,9 +156,16 @@ def _layer(p, cfg: QwenVLTextConfig, x, cos, sin, mask_bias, kv_cache=None,
     n, kvh, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     h = rms_norm(x, p["ln1"]["scale"], cfg.eps)
-    q = linear(p["q"], h).reshape(b, s, n, d)
-    k = linear(p["k"], h).reshape(b, s, kvh, d)
-    v = linear(p["v"], h).reshape(b, s, kvh, d)
+    if "qkv" in p:  # fused projection (fuse_decode_projections)
+        qkv = linear(p["qkv"], h)
+        q_w, kv_w = n * d, kvh * d
+        q = qkv[..., :q_w].reshape(b, s, n, d)
+        k = qkv[..., q_w:q_w + kv_w].reshape(b, s, kvh, d)
+        v = qkv[..., q_w + kv_w:].reshape(b, s, kvh, d)
+    else:
+        q = linear(p["q"], h).reshape(b, s, n, d)
+        k = linear(p["k"], h).reshape(b, s, kvh, d)
+        v = linear(p["v"], h).reshape(b, s, kvh, d)
     q = apply_rope_half(q, cos, sin)
     k = apply_rope_half(k, cos, sin)
 

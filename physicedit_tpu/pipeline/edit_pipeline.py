@@ -155,7 +155,12 @@ class PhysicEditPipeline:
             if "dit_params" in kw:
                 kw["dit_params"] = quantize_tree_int4(kw["dit_params"])
             if "text_params" in kw:
-                kw["text_params"] = quantize_tree_int4(kw["text_params"])
+                from physicedit_tpu.models.qwen_vl import fuse_decode_projections
+
+                # fused qkv / gate_up: one GEMV + one row-quantize per
+                # group — the launch-latency win for the M=1 reasoner decode
+                kw["text_params"] = fuse_decode_projections(
+                    quantize_tree_int4(kw["text_params"]))
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode: {quantize!r}")
 

@@ -232,3 +232,33 @@ def test_left_padded_decode_matches_unpadded():
                                jnp.full((1,), s, jnp.int32), max_new,
                                key_mask=key_mask)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_fused_decode_projections_exact():
+    """fuse_decode_projections concatenates per-output-channel weights, so
+    float and packed-int4 trees must produce identical forwards."""
+    import jax
+    import numpy as np
+    from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
+    from physicedit_tpu.models import qwen_vl as m
+
+    cfg = m.TINY_TEXT
+    params = m.init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(1, 8, cfg.hidden_size)) * 0.3,
+                      jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(8)[None, None], (3, 1, 8))
+    mask = jnp.ones((1, 8), bool)
+
+    base = m.text_forward(params, cfg, emb, pos, mask)
+    fused = m.text_forward(m.fuse_decode_projections(params), cfg, emb, pos,
+                           mask)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
+
+    q = quantize_tree_int4(params, min_size=1)
+    base_q = m.text_forward(q, cfg, emb, pos, mask)
+    fused_q = m.text_forward(m.fuse_decode_projections(q), cfg, emb, pos,
+                             mask)
+    np.testing.assert_allclose(np.asarray(fused_q), np.asarray(base_q),
+                               rtol=2e-5, atol=2e-5)
