@@ -9,6 +9,7 @@ _EXPORTS = {
     "rife": "physicedit_tpu.extensions.rife",
     "tiler": "physicedit_tpu.extensions.tiler",
     "quality_metric": "physicedit_tpu.extensions.quality_metric",
+    "fastblend": "physicedit_tpu.extensions.fastblend",
 }
 
 __all__ = list(_EXPORTS)
