@@ -116,6 +116,46 @@ def _gelu_quant(x, bm):
     )(x)
 
 
+def _transpose_quant_kernel(x_ref, q_ref, s_ref):
+    xt = x_ref[0]                       # [N, bm, D] heads-major attention out
+    n, bm, d = xt.shape
+    y = xt.transpose(1, 0, 2).reshape(bm, n * d)
+    q, s = _quantize_tail(y.astype(jnp.float32))
+    q_ref[0] = q
+    s_ref[0] = s
+
+
+@functools.partial(jax.jit, static_argnames=("bm",))
+def _transpose_quant(x, bm):
+    b, n, s, d = x.shape
+    return pl.pallas_call(
+        _transpose_quant_kernel,
+        grid=(b, s // bm),
+        in_specs=[pl.BlockSpec((1, n, bm, d), lambda bi, i: (bi, 0, i, 0))],
+        out_specs=(
+            pl.BlockSpec((1, bm, n * d), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, bm, 1), lambda bi, i: (bi, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s, n * d), jnp.int8),
+            jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
+        ),
+    )(x)
+
+
+def transpose_quant(x):
+    """Fused [B, N, S, D] -> int8 [B, S, N*D] + row scales: the attention
+    output's heads-to-feature transpose and the W4A8 row-quantize in one
+    pass (otherwise XLA materialises the transposed bf16 copy and reads it
+    twice more for amax + round).  None when the shape doesn't tile."""
+    if x.ndim != 4 or (x.shape[1] * x.shape[3]) % 128 or x.shape[3] % 128:
+        return None
+    bm = _pick_bm(x.shape[2], x.shape[1] * x.shape[3])
+    if bm is None:
+        return None
+    return _transpose_quant(x, bm)
+
+
 def ln_mod_quant(x, shift, scale, eps: float = 1e-6):
     """Fused LN+modulate+row-quantize.
 

@@ -252,13 +252,31 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
     else:
         bias4 = None if attn_bias is None else attn_bias[:, None]
         out = sdpa_bnsd(q, k, v, key_mask=joint_key_mask, bias=bias4)
-    out = out.transpose(0, 2, 1, 3).reshape(b, s_t + s_i, d)
-    txt_attn, img_attn = out[:, :s_t], out[:, s_t:]
+    fq_attn = None
+    if use_fq and "w4" in p["attn"]["to_out"] \
+            and "w4" in p["attn"]["to_add_out"]:
+        from physicedit_tpu.kernels.fused_quant import transpose_quant
 
-    image = image + im_g1[:, None, :] * with_lora(
-        linear(p["attn"]["to_out"], img_attn), "to_out", img_attn)
-    text = text + tx_g1[:, None, :] * with_lora(
-        linear(p["attn"]["to_add_out"], txt_attn), "to_add_out", txt_attn)
+        # heads->feature transpose + row-quantize in one pass
+        fq_attn = transpose_quant(out)
+    if fq_attn is not None:
+        from physicedit_tpu.kernels.quant_matmul import w4a8_linear_q
+
+        q_all, sc_all = fq_attn
+        img_o = w4a8_linear_q(p["attn"]["to_out"], q_all[:, s_t:],
+                              sc_all[:, s_t:], image.dtype)
+        txt_o = w4a8_linear_q(p["attn"]["to_add_out"], q_all[:, :s_t],
+                              sc_all[:, :s_t], image.dtype)
+    else:
+        out = out.transpose(0, 2, 1, 3).reshape(b, s_t + s_i, d)
+        txt_attn, img_attn = out[:, :s_t], out[:, s_t:]
+        img_o = with_lora(linear(p["attn"]["to_out"], img_attn),
+                          "to_out", img_attn)
+        txt_o = with_lora(linear(p["attn"]["to_add_out"], txt_attn),
+                          "to_add_out", txt_attn)
+
+    image = image + im_g1[:, None, :] * img_o
+    text = text + tx_g1[:, None, :] * txt_o
 
     def mlp(p_mlp, x, shift, scale, fc2_name):
         h_raw = mod_linear(p_mlp["fc1"], x, shift, scale,

@@ -229,3 +229,22 @@ def test_w4_block_fused_path_matches_unfused():
     np.testing.assert_allclose(np.asarray(t_f, np.float32),
                                np.asarray(t_u, np.float32),
                                rtol=0.05, atol=0.05)
+
+
+def test_transpose_quant_matches_unfused():
+    from physicedit_tpu.kernels import fused_quant as fq
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 4, 64, 128)) * 0.5, jnp.bfloat16)
+    out = fq.transpose_quant(x)
+    assert out is not None
+    q, s = out
+    y = jnp.transpose(x, (0, 2, 1, 3)).reshape(2, 64, 512)
+    _, s_ref = qm.quantize_rows(y)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-2)
+    deq = np.asarray(q, np.float32) * np.asarray(s)
+    yf = np.asarray(y, np.float32)
+    tol = 0.55 * np.asarray(s) + 0.02 * np.abs(yf)
+    assert (np.abs(deq - yf) <= tol).all()
+    # shape fallbacks
+    assert fq.transpose_quant(jnp.zeros((2, 3, 13, 120), jnp.bfloat16)) is None
