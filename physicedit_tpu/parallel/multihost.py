@@ -63,10 +63,28 @@ def create_hybrid_mesh(n_data: int, n_model: int) -> Mesh:
     per_host_data = n_data // n_proc
     from jax.experimental import mesh_utils
 
-    dev = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(per_host_data, n_model),
-        dcn_mesh_shape=(n_proc, 1),
-        devices=jax.devices())
+    try:
+        dev = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(per_host_data, n_model),
+            dcn_mesh_shape=(n_proc, 1),
+            devices=jax.devices())
+    except ValueError:
+        # Backends without slice topology attributes (multi-process CPU,
+        # single-slice pods): group by process so the data axis still
+        # spans hosts and the model axis stays host-local.
+        by_proc: dict[int, list] = {}
+        for d in jax.devices():
+            by_proc.setdefault(d.process_index, []).append(d)
+        rows = []
+        for p in sorted(by_proc):
+            ds = sorted(by_proc[p], key=lambda d: d.id)
+            assert len(ds) >= per_host_data * n_model, (
+                f"process {p} has {len(ds)} devices, need "
+                f"{per_host_data}x{n_model}")
+            rows.append(np.asarray(ds[: per_host_data * n_model],
+                                   dtype=object).reshape(per_host_data,
+                                                         n_model))
+        dev = np.concatenate(rows, axis=0)
     return Mesh(dev, (DATA_AXIS, MODEL_AXIS))
 
 

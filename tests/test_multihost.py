@@ -43,3 +43,34 @@ def test_global_batch_assembly_and_reduction():
 def test_initialize_distributed_noop_single_process():
     mh.initialize_distributed()  # must not raise or hang
     assert jax.process_count() == 1
+
+
+def test_two_process_hybrid_mesh_grad():
+    """REAL multi-process evidence: two OS processes, each owning 4 CPU
+    devices, build the hybrid mesh via parallel/multihost.py and run a
+    data-parallel gradient whose psum crosses the process boundary
+    (tests/multihost_worker.py)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # pick a free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = ""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(root, "tests", "multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out}"
+        assert "MULTIHOST_OK" in out, out
