@@ -215,3 +215,24 @@ def test_entity_segment_text_rope_parity():
     sin = np.concatenate([s for _, s in parts])
     np.testing.assert_allclose(cos, ref_cat.real, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(sin, ref_cat.imag, rtol=1e-5, atol=1e-5)
+
+
+def test_apply_rope_per_row_tables():
+    """[B, 1, S, D/2] tables apply each batch row's own rope — the per-CFG-row
+    EliGen text layout (positive row segmented, negative row plain)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from physicedit_tpu.ops.rope import apply_rope, text_rope_tables
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 4, 16, 64)), jnp.float32)  # B,N,S,D
+    c0, s0 = text_rope_tables(16, 7, axes_dim=(16, 24, 24))
+    c1, s1 = text_rope_tables(16, 99, axes_dim=(16, 24, 24))
+    cb = jnp.asarray(np.stack([c0, c1])[:, None])   # [2, 1, 16, 32]
+    sb = jnp.asarray(np.stack([s0, s1])[:, None])
+    out = apply_rope(x, cb, sb)
+    row0 = apply_rope(x[:1], jnp.asarray(c0), jnp.asarray(s0))
+    row1 = apply_rope(x[1:], jnp.asarray(c1), jnp.asarray(s1))
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(jnp.concatenate([row0, row1])),
+                               rtol=1e-6, atol=1e-6)
