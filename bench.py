@@ -133,7 +133,7 @@ def bench_dit_bf16_per_block(dtype):
     return block_s
 
 
-def bench_vl(cfg_name="w4", batch_sizes=(1, 8)):
+def bench_vl(cfg_name="w4", batch_sizes=(1, 4, 8)):
     """VL-7B conditioning: prefill at the edit-prompt length + decode
     ms/token, packed-int4 weights (the single-chip co-resident config).
 

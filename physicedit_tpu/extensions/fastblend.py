@@ -315,8 +315,11 @@ class PyramidPatchMatcher:
                  tracking_window_size=0, initialize="identity", seed=0):
         del threads_per_block, gpu_id  # CUDA launch geometry: meaningless on TPU
         maximum_patch_size = minimum_patch_size + (num_iter - 1) * 2
-        self.pyramid_level = int(np.log2(
-            min(image_height, image_width) / maximum_patch_size))
+        # >= 1 level: frames smaller than ~2x the max patch would compute
+        # log2 <= 0 and skip estimation entirely (the kernels themselves
+        # handle any size via zero padding)
+        self.pyramid_level = max(1, int(np.log2(
+            min(image_height, image_width) / maximum_patch_size)))
         self.pyramid_heights = []
         self.pyramid_widths = []
         self.patch_matchers = []
@@ -762,6 +765,11 @@ class FastBlendSmoother:
     def __call__(self, rendered_frames, original_frames=None, **kwargs):
         from PIL import Image
 
+        if original_frames is None:
+            raise ValueError(
+                "FastBlendSmoother needs original_frames as the motion "
+                "guide (the reference hook receives them from the video "
+                "pipeline, FastBlend/__init__.py:55-58)")
         frames = FastModeRunner().run(
             [np.asarray(f) for f in original_frames],
             [np.asarray(f) for f in rendered_frames],

@@ -179,8 +179,12 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
               and "w4" in p["attn"]["img_qkv"]
               and p["attn"]["img_qkv"]["w4"].shape[0] % 128 == 0)
 
-    def mod_linear(p_lin, x, shift, scale, name):
-        """linear(p_lin, modulate(x, shift, scale)) with optional fusion."""
+    def mod_linear(p_lin, x, shift, scale, name=None):
+        """linear(p_lin, modulate(x, shift, scale)) with optional fusion.
+
+        `name=None` for layers outside the LoRA surface (the fc1
+        projections — train_multigpu.sh:30-32 trains fc2/qkv/mod/out only).
+        """
         if use_fq and "w4" in p_lin:
             from physicedit_tpu.kernels.fused_quant import ln_mod_quant
             from physicedit_tpu.kernels.quant_matmul import w4a8_linear_q
@@ -189,8 +193,10 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
             if fq is not None:
                 return w4a8_linear_q(p_lin, *fq, x.dtype)
         xn = _modulate(x, shift, scale, cfg.eps)
-        return with_lora(linear(p_lin, xn), name, xn,
-                         fused=name.endswith("qkv"))
+        y = linear(p_lin, xn)
+        if name is None:
+            return y
+        return with_lora(y, name, xn, fused=name.endswith("qkv"))
 
     img_mod = with_lora(linear(p["img_mod"], temb_silu[:, None, :]),
                         "img_mod", temb_silu[:, None, :])[:, 0]
@@ -279,8 +285,7 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
     text = text + tx_g1[:, None, :] * txt_o
 
     def mlp(p_mlp, x, shift, scale, fc2_name):
-        h_raw = mod_linear(p_mlp["fc1"], x, shift, scale,
-                           fc2_name.replace("fc2", "fc1"))
+        h_raw = mod_linear(p_mlp["fc1"], x, shift, scale)  # fc1: no LoRA
         if use_fq and "w4" in p_mlp["fc2"]:
             from physicedit_tpu.kernels.fused_quant import gelu_quant
             from physicedit_tpu.kernels.quant_matmul import w4a8_linear_q

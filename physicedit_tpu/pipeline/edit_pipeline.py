@@ -183,6 +183,27 @@ class PhysicEditPipeline:
 
         from physicedit_tpu.parallel import sharding as sh
 
+        def has_quantized(node):
+            if isinstance(node, dict):
+                return "w4" in node or "w_q" in node \
+                    or any(has_quantized(v) for v in node.values())
+            if isinstance(node, list):
+                return any(has_quantized(v) for v in node)
+            return False
+
+        if has_quantized(self.dit_params) or (
+                self.text_params is not None
+                and has_quantized(self.text_params)):
+            # Tensor-parallel specs split the bf16 'w' leaves; the packed
+            # layouts (nibble-packed K, int8 per-channel scales) have no
+            # specs and would KeyError deep in shard_params.  The two are
+            # alternative memory strategies (docs/SERVING.md).
+            raise ValueError(
+                "shard() needs unquantized bf16 weights: quantized "
+                "residency (quantize='int8'/'int4') and mesh sharding are "
+                "alternative memory strategies — reload with quantize=None "
+                "to tensor-parallel over a mesh")
+
         def replicate(tree):
             return jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, NamedSharding(mesh, PS())), tree)

@@ -111,7 +111,8 @@ def save_checkpoint(output_dir: str, trainable: dict, global_step: int,
                     epoch: int, num_processes: int = 1,
                     batches_per_epoch: int = 0,
                     gradient_accumulation_steps: int = 1,
-                    use_orbax: bool = True) -> str:
+                    use_orbax: bool = True,
+                    sample_index: int | None = None) -> str:
     os.makedirs(output_dir, exist_ok=True)
     name = f"step-{global_step}"
     ckpt_path = os.path.join(output_dir, name + ".safetensors")
@@ -125,6 +126,11 @@ def save_checkpoint(output_dir: str, trainable: dict, global_step: int,
         "gradient_accumulation_steps": gradient_accumulation_steps,
         "timestamp": datetime.datetime.now().isoformat(),
     }
+    if sample_index is not None:
+        # exact dataset position within `epoch` (indices consumed so far) —
+        # resume prefers this over the steps-per-epoch heuristic, which
+        # drifts when samples are skipped or a partial batch is pending
+        meta["sample_index"] = int(sample_index)
     with open(os.path.join(output_dir, name + ".json"), "w") as f:
         json.dump(meta, f, indent=2)
     with open(os.path.join(output_dir, "latest.json"), "w") as f:

@@ -187,12 +187,25 @@ class Trainer:
         # Weights-only resume: fresh optimizer state (reference behaviour,
         # train_physicedit.py:578-580).
         self.opt_state = self.optimizer.init(self.trainable)
-        # global_step counts OPTIMIZER steps (batch_size samples each),
-        # while the epoch loop skips by dataset index — convert.
-        self.global_step, self.start_epoch, skip_steps = ckpt.resume_position(
-            meta, num_processes=1,
-            batches_per_epoch=max(len(self.dataset) // self.cfg.batch_size, 1))
-        self.skip_batches = skip_steps * self.cfg.batch_size
+        if "sample_index" in meta:
+            # exact dataset position recorded at save time — immune to
+            # skipped samples and partial pending batches
+            self.global_step = int(meta.get("global_step", 0))
+            self.start_epoch = int(meta.get("epoch", 0))
+            self.skip_batches = int(meta["sample_index"])
+            if self.skip_batches >= len(self.dataset):
+                self.start_epoch += 1
+                self.skip_batches = 0
+        else:
+            # legacy sidecars: global_step counts OPTIMIZER steps
+            # (batch_size samples each), the epoch loop skips by dataset
+            # index — convert via the steps-per-epoch heuristic
+            self.global_step, self.start_epoch, skip_steps = \
+                ckpt.resume_position(
+                    meta, num_processes=1,
+                    batches_per_epoch=max(
+                        len(self.dataset) // self.cfg.batch_size, 1))
+            self.skip_batches = skip_steps * self.cfg.batch_size
         print(f"[RESUME] step={self.global_step} epoch={self.start_epoch} "
               f"skip={self.skip_batches} samples")
 
@@ -388,9 +401,11 @@ class Trainer:
         pending = []
         skipped = 0
         for epoch in range(self.start_epoch, cfg.num_epochs):
+            usable = 0
             for i in range(len(self.dataset)):
                 if epoch == self.start_epoch and i < self.skip_batches:
                     continue
+                self._epoch_pos = i + 1  # exact resume position (save())
                 sample = self.dataset[i]
                 if sample is None:
                     continue
@@ -400,6 +415,7 @@ class Trainer:
                     skipped += 1
                     continue
                 pending.append(micro)
+                usable += 1
                 if len(pending) < cfg.batch_size:
                     continue
                 batch = self._place_batch(self.collate(pending))
@@ -419,21 +435,33 @@ class Trainer:
                 if cfg.eval_every_n_steps and \
                         self.global_step % cfg.eval_every_n_steps == 0:
                     self.evaluate((i + 1) % len(self.dataset))
-            if self.global_step == 0:
+            if self.global_step == 0 and usable == 0:
                 # every sample was skipped — e.g. an image-pair dataset
                 # (Pica100k) without middle_key_frames: the PhysicEdit
                 # loss needs the visual-prior frames (SURVEY P4/P9);
                 # fail loudly instead of saving untrained checkpoints
                 raise RuntimeError(
-                    f"epoch {epoch} produced no training steps "
-                    f"({skipped} samples skipped): this trainer's "
-                    f"PhysicEdit loss requires middle_key_frames "
-                    f"(PhysicTran-style video data)")
+                    f"epoch {epoch} produced no usable samples "
+                    f"({skipped} skipped): this trainer's PhysicEdit loss "
+                    f"requires middle_key_frames (PhysicTran-style video "
+                    f"data)")
             if skipped:
                 print(f"[TRAIN] epoch {epoch}: skipped {skipped} samples "
                       f"without usable key frames/special tokens")
                 skipped = 0
             self.save(epoch)
+        if self.global_step == 0:
+            # samples were usable but never filled one batch (pending
+            # carries across epochs, so only the end of the run is certain)
+            raise RuntimeError(
+                f"no training step ran: batch_size={cfg.batch_size} "
+                f"exceeds the {len(pending)} usable samples accumulated "
+                f"over {cfg.num_epochs - self.start_epoch} epoch(s) — "
+                f"lower batch_size or add data")
+        if pending:
+            print(f"[TRAIN] {len(pending)} usable samples left in a "
+                  f"partial batch (batch_size={cfg.batch_size}) were not "
+                  f"trained on")
 
     def evaluate(self, sample_idx: int = 0, seed: int = 42,
                  num_inference_steps: int = 40):
@@ -489,6 +517,7 @@ class Trainer:
     def save(self, epoch: int) -> str:
         path = ckpt.save_checkpoint(
             self.cfg.output_path, self.trainable, self.global_step, epoch,
-            batches_per_epoch=len(self.dataset))
+            batches_per_epoch=len(self.dataset),
+            sample_index=getattr(self, "_epoch_pos", 0))
         print(f"[ckpt] saved {path}")
         return path

@@ -192,3 +192,22 @@ def test_interpolate_video_keyframes():
                                 tracking_window_size=1,
                                 minimum_patch_size=5, num_iter=2)
     assert sum(f is not None for f in out1) == 6
+
+
+def test_tiny_frames_still_blend():
+    """Frames below ~2x the max patch size must still run (pyramid depth
+    clamps to one level instead of skipping estimation)."""
+    rng = np.random.default_rng(6)
+    base = rng.uniform(60, 200, size=(20, 20, 3)).astype(np.float32)
+    guide = [base.clip(0, 255).astype(np.uint8)] * 3
+    style = [(base + rng.normal(scale=10, size=base.shape))
+             .clip(0, 255).astype(np.uint8) for _ in range(3)]
+    out = fb.smooth_video(guide, style, mode="Balanced", window_size=2,
+                          batch_size=2, minimum_patch_size=5, num_iter=2)
+    assert len(out) == 3 and out[0].shape == (20, 20, 3)
+    assert out[0].dtype == np.uint8
+
+
+def test_smoother_requires_guide_frames():
+    with pytest.raises(ValueError, match="original_frames"):
+        fb.FastBlendSmoother()([np.zeros((32, 32, 3), np.uint8)])

@@ -352,3 +352,24 @@ def test_reasoner_batch_matches_single(tiny_pipe):
     # true multi-row call agrees with the row-at-a-time results
     batched = tiny_pipe.reason_physical_batch(prompts, ims, max_new_tokens=5)
     assert batched == singles
+
+
+def test_shard_rejects_quantized_pipeline(tiny_pipe):
+    """Quantized residency and mesh sharding are alternative memory
+    strategies: shard() must fail with a clear error, not a KeyError deep
+    in the partition specs."""
+    import jax
+    import pytest
+    from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
+    from physicedit_tpu.parallel import sharding as shd
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    orig = tiny_pipe.dit_params
+    try:
+        tiny_pipe.dit_params = quantize_tree_int4(orig, min_size=1)
+        with pytest.raises(ValueError, match="alternative memory"):
+            tiny_pipe.shard(shd.create_mesh(2, 4))
+    finally:
+        tiny_pipe.dit_params = orig
+        tiny_pipe.mesh = None

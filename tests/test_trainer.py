@@ -314,3 +314,34 @@ def test_cache_preprocessed_roundtrip(trainer, tmp_path):
         np.testing.assert_allclose(np.asarray(inline[k], np.float32),
                                    np.asarray(from_cache[k], np.float32),
                                    rtol=1e-6, atol=1e-6, err_msg=k)
+
+
+def test_batch_size_exceeding_usable_samples_raises_clearly(trainer, tmp_path):
+    cfg = TrainConfig(output_path=str(tmp_path), lora_rank=2, num_epochs=1,
+                      height=64, width=64, txt_len_bucket=64, batch_size=8)
+    t = Trainer(trainer.pipe, trainer.dataset, cfg)  # 3 usable samples
+    with pytest.raises(RuntimeError, match="batch_size=8 exceeds"):
+        t.train()
+
+
+def test_resume_uses_exact_sample_index(trainer, tmp_path):
+    """Mid-epoch saves record the dataset position; resume lands exactly
+    there instead of the steps-per-epoch heuristic (which drifts when
+    samples are skipped or a partial batch is pending)."""
+    cfg2 = TrainConfig(output_path=str(tmp_path), lora_rank=2,
+                       height=64, width=64, txt_len_bucket=64)
+    t = Trainer(trainer.pipe, trainer.dataset, cfg2)
+    t.global_step = 7
+    t._epoch_pos = 2        # two dataset indices consumed in epoch 0
+    t.save(epoch=0)
+    t2 = Trainer(trainer.pipe, trainer.dataset, cfg2)
+    t2.resume(str(tmp_path))
+    assert (t2.global_step, t2.start_epoch, t2.skip_batches) == (7, 0, 2)
+
+    # epoch fully consumed -> resume rolls to the next epoch
+    t.global_step = 9
+    t._epoch_pos = len(trainer.dataset)
+    t.save(epoch=0)
+    t3 = Trainer(trainer.pipe, trainer.dataset, cfg2)
+    t3.resume(str(tmp_path))
+    assert (t3.global_step, t3.start_epoch, t3.skip_batches) == (9, 1, 0)
