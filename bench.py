@@ -91,6 +91,49 @@ def bench_vae(dtype):
     return enc_s, dec_s
 
 
+def bench_dinov2():
+    """Staged config #1: DINOv2-with-registers-base features on one 512x512
+    image.  (The driver phrases the reference config as CPU fp32; here the
+    chip runs it in fp32 — the prior-extraction stage of training.)"""
+    from physicedit_tpu.models import dinov2 as m
+
+    cfg = m.DINOV2_BASE
+    rng = np.random.default_rng(0)
+    dtype = jnp.float32
+
+    def t(*shape):
+        return jnp.asarray(rng.normal(size=shape) * 0.02, dtype)
+
+    L, D, F = cfg.num_layers, cfg.hidden_size, cfg.hidden_size * cfg.mlp_ratio
+    params = {
+        "cls_token": t(1, 1, D),
+        "register_tokens": t(1, cfg.num_register_tokens, D),
+        "pos_emb": t(1, 1 + 37 * 37, D),
+        "patch_embed": {"w": t(cfg.patch_size, cfg.patch_size, 3, D),
+                        "b": t(D)},
+        "layers": {
+            "norm1": {"scale": t(L, D), "bias": t(L, D)},
+            "qkv": {"w": t(L, D, 3 * D), "b": t(L, 3 * D)},
+            "out": {"w": t(L, D, D), "b": t(L, D)},
+            "ls1": t(L, D),
+            "norm2": {"scale": t(L, D), "bias": t(L, D)},
+            "fc1": {"w": t(L, D, F), "b": t(L, F)},
+            "fc2": {"w": t(L, F, D), "b": t(L, D)},
+            "ls2": t(L, D),
+        },
+    }
+    fwd = jax.jit(lambda p, x: m.dinov2_features(p, cfg, x))
+    best = float("inf")
+    fetch(fwd(params, jnp.full((1, 512, 512, 3), 0.1, dtype)))
+    for i in range(1, 4):
+        x = jnp.full((1, 512, 512, 3), 0.1 + 0.01 * i, dtype)
+        t0 = time.perf_counter()
+        fetch(fwd(params, x))
+        best = min(best, time.perf_counter() - t0)
+    log(f"dinov2-base 512^2 fp32 (config #1): {best*1e3:.1f} ms")
+    return best
+
+
 def bench_dit_bf16_per_block(dtype):
     """bf16 per-block by layer-count differencing (bf16 cannot hold 60
     blocks on one chip; this is the multi-chip-parity data point)."""
@@ -235,6 +278,7 @@ def main():
 
     # ---- 4. VAE ----------------------------------------------------------
     enc_s, dec_s = bench_vae(dtype)
+    bench_dinov2()
 
     # ---- Compose ---------------------------------------------------------
     # reference edit = reasoner (prefill + <=1000-token decode) + prompt
