@@ -498,3 +498,98 @@ def physic_adapters_from_state_dict(pipe_sd: dict, dtype=jnp.float32) -> dict:
         if name + ".weight" in pipe_sd:
             out[name] = _t(pipe_sd, name + ".weight", dtype)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Config inference (size-robust loading: the reference instantiates network
+# classes with hard-coded constants, model_manager.py:11-34; here the same
+# checkpoint-driven loading works for any width/depth — tiny test models
+# and the production Qwen-Image-Edit weights alike)
+# ---------------------------------------------------------------------------
+
+def dit_config_from_params(params) -> "object":
+    """DiTConfig derived from a converted DiT pytree's shapes (exactly
+    reproduces QWEN_IMAGE_CONFIG on the real checkpoint)."""
+    import dataclasses
+
+    from physicedit_tpu.models.dit import QWEN_IMAGE_CONFIG
+
+    blocks = params["blocks"]
+    head_dim = int(blocks["attn"]["norm_q"]["scale"].shape[-1])
+    dim = int(params["img_in"]["w"].shape[1])
+    return dataclasses.replace(
+        QWEN_IMAGE_CONFIG,
+        num_layers=int(blocks["img_mod"]["w"].shape[0]),
+        dim=dim,
+        num_heads=dim // head_dim,
+        head_dim=head_dim,
+        txt_in_dim=int(params["txt_norm"]["scale"].shape[0]),
+        patch_dim=int(params["img_in"]["w"].shape[0]),
+        time_dim=int(params["time_embed"]["linear_1"]["w"].shape[0]))
+
+
+def vae_config_from_params(params) -> "object":
+    """VAEConfig (base_dim, z_dim) from a converted VAE pytree."""
+    import dataclasses
+
+    from physicedit_tpu.models.vae import QWEN_VAE_CONFIG
+
+    return dataclasses.replace(
+        QWEN_VAE_CONFIG,
+        base_dim=int(params["encoder"]["conv_in"]["w"].shape[-1]),
+        z_dim=int(params["quant_conv"]["w"].shape[-1]) // 2)
+
+
+def text_config_from_hf(hf: dict) -> "object":
+    """QwenVLTextConfig from an HF Qwen2_5_VL config.json dict (the file
+    shipped next to every text-encoder checkpoint)."""
+    import dataclasses
+
+    from physicedit_tpu.models.qwen_vl import QWEN25_VL_7B_TEXT
+
+    heads = int(hf["num_attention_heads"])
+    hidden = int(hf["hidden_size"])
+    sec = hf.get("rope_scaling", {}).get("mrope_section") or \
+        list(QWEN25_VL_7B_TEXT.mrope_section)
+    return dataclasses.replace(
+        QWEN25_VL_7B_TEXT,
+        hidden_size=hidden,
+        num_layers=int(hf["num_hidden_layers"]),
+        num_heads=heads,
+        num_kv_heads=int(hf.get("num_key_value_heads", heads)),
+        head_dim=int(hf.get("head_dim", hidden // heads)),
+        intermediate_size=int(hf["intermediate_size"]),
+        vocab_size=int(hf["vocab_size"]),
+        rope_theta=float(hf.get("rope_theta", 1e6)),
+        mrope_section=tuple(sec),
+        eps=float(hf.get("rms_norm_eps", 1e-6)),
+        image_token_id=int(hf.get("image_token_id", 151655)),
+        video_token_id=int(hf.get("video_token_id", 151656)),
+        vision_start_token_id=int(hf.get("vision_start_token_id", 151652)),
+        eos_token_id=int(hf.get("eos_token_id", 151645)))
+
+
+def vision_config_from_hf(hf: dict) -> "object":
+    """QwenVLVisionConfig from the vision_config block of config.json."""
+    import dataclasses
+
+    from physicedit_tpu.models.qwen_vl_vision import QWEN25_VL_VISION
+
+    v = hf.get("vision_config", hf)
+    base = QWEN25_VL_VISION
+    return dataclasses.replace(
+        base,
+        depth=int(v.get("depth", base.depth)),
+        hidden_size=int(v.get("hidden_size", base.hidden_size)),
+        num_heads=int(v.get("num_heads", base.num_heads)),
+        intermediate_size=int(v.get("intermediate_size",
+                                    base.intermediate_size)),
+        patch_size=int(v.get("patch_size", base.patch_size)),
+        temporal_patch_size=int(v.get("temporal_patch_size",
+                                      base.temporal_patch_size)),
+        spatial_merge_size=int(v.get("spatial_merge_size",
+                                     base.spatial_merge_size)),
+        window_size=int(v.get("window_size", base.window_size)),
+        fullatt_block_indexes=tuple(v.get("fullatt_block_indexes",
+                                          base.fullatt_block_indexes)),
+        out_hidden_size=int(v.get("out_hidden_size", base.out_hidden_size)))

@@ -22,6 +22,7 @@ Stage map (reference unit -> here):
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 import jax
@@ -100,6 +101,7 @@ class PhysicEditPipeline:
         from physicedit_tpu.io.safetensors_io import EXTENSION_LOADERS
 
         parts: dict = {}
+        part_paths: dict = {}
         for path in model_paths:
             sd = load_state_dict(path)
             name = detect_model_name(sd)
@@ -110,6 +112,8 @@ class PhysicEditPipeline:
                     f"{path} is a '{name}' checkpoint: not a pipeline part; "
                     f"load it with {EXTENSION_LOADERS[name]}")
             parts[name] = sd
+            part_paths[name] = path[0] if isinstance(path, (list, tuple)) \
+                else path
 
         adapters = {}
         dit_sd = parts.get("qwen_image_dit")
@@ -129,12 +133,30 @@ class PhysicEditPipeline:
         kw = dict(adapters=adapters, dtype=dtype, attn_impl=attn_impl)
         if dit_sd is not None:
             kw["dit_params"] = C.dit_from_torch(dit_sd, dtype=dtype)
+            kw["dit_cfg"] = C.dit_config_from_params(kw["dit_params"])
         if "qwen_image_vae" in parts:
             kw["vae_params"] = C.vae_from_torch(parts["qwen_image_vae"], dtype=dtype)
+            kw["vae_cfg"] = C.vae_config_from_params(kw["vae_params"])
         if "qwen_image_text_encoder" in parts:
             sd = _remap_text_encoder_keys(parts["qwen_image_text_encoder"])
             kw["text_params"] = C.qwen_vl_text_from_torch(sd, dtype=dtype)
             kw["vision_params"] = C.qwen_vl_vision_from_torch(sd, dtype=dtype)
+            # size-robust configs: every HF text-encoder checkpoint ships a
+            # config.json next to its safetensors (the reference hard-codes
+            # the 7B constants instead, qwen_image_text_encoder_withdecode
+            # .py:8-146)
+            cfg_json = os.path.join(
+                os.path.dirname(part_paths["qwen_image_text_encoder"]),
+                "config.json")
+            if os.path.exists(cfg_json):
+                import json
+
+                with open(cfg_json) as f:
+                    hf_cfg = json.load(f)
+                kw["text_cfg"] = C.text_config_from_hf(hf_cfg)
+                kw["vision_cfg"] = C.vision_config_from_hf(hf_cfg)
+                kw["image_pad_id"] = kw["text_cfg"].image_token_id
+                kw["vision_start_id"] = kw["text_cfg"].vision_start_token_id
 
         if quantize == "int8":
             # W8A8 for the DiT (compute) and the VL decoder (its greedy

@@ -1,0 +1,152 @@
+"""CLI integration: cli/validate.py end-to-end from CHECKPOINT FILES.
+
+Builds a tiny Qwen-Image-Edit-style model folder on disk in the REFERENCE
+key space (transformer / text_encoder+config.json / vae), then drives the
+validate CLI through file discovery, hash/heuristic model detection, the
+torch-key converters, size-robust config inference, the full denoise and
+the image save — the complete validate.py:67-139 path on real files.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.conftest import load_ref_module, requires_reference
+
+
+def _np(t):
+    return t.detach().float().numpy()
+
+
+def _build_model_dir(base):
+    import torch
+    from safetensors.numpy import save_file
+
+    torch.manual_seed(0)
+
+    # --- DiT: 2 reference blocks (dim 256, head_dim 128 so the default
+    # rope_axes (16,56,56) apply) + hand-made top-level projections -------
+    ref_dit = load_ref_module("models.qwen_image_dit")
+    sd = {}
+    for i in range(2):
+        blk = ref_dit.QwenImageTransformerBlock(
+            dim=256, num_attention_heads=2, attention_head_dim=128).eval()
+        for k, v in blk.state_dict().items():
+            sd[f"transformer_blocks.{i}.{k}"] = _np(v)
+    rng = np.random.default_rng(0)
+
+    def lin(out_d, in_d):
+        return (rng.normal(size=(out_d, in_d)).astype(np.float32) * 0.02,
+                rng.normal(size=(out_d,)).astype(np.float32) * 0.01)
+
+    for name, (out_d, in_d) in {
+        "img_in": (256, 64), "txt_in": (256, 64),
+        "time_text_embed.timestep_embedder.linear_1": (256, 256),
+        "time_text_embed.timestep_embedder.linear_2": (256, 256),
+        "norm_out.linear": (512, 256), "proj_out": (64, 256),
+    }.items():
+        w, b = lin(out_d, in_d)
+        sd[name + ".weight"] = w
+        sd[name + ".bias"] = b
+    sd["txt_norm.weight"] = np.ones((64,), np.float32)
+    os.makedirs(os.path.join(base, "transformer"))
+    save_file(sd, os.path.join(base, "transformer",
+                               "diffusion_pytorch_model.safetensors"))
+
+    # --- VAE: tiny reference module ------------------------------------
+    ref_vae = load_ref_module("models.qwen_image_vae")
+    vae = ref_vae.QwenImageVAE(base_dim=8).eval()
+    os.makedirs(os.path.join(base, "vae"))
+    save_file({k: _np(v) for k, v in vae.state_dict().items()},
+              os.path.join(base, "vae", "diffusion_pytorch_model.safetensors"))
+
+    # --- Text encoder: tiny HF model, saved in the REFERENCE checkpoint
+    # key space (visual.* / model.*), plus its config.json ----------------
+    from tests.test_qwen_vl import _tiny_hf
+
+    model, _, _ = _tiny_hf(0)
+    tsd = {}
+    for k, v in model.state_dict().items():
+        if k.startswith("model.visual."):
+            k = k[len("model."):]
+        elif k.startswith("model.language_model."):
+            k = "model." + k[len("model.language_model."):]
+        tsd[k] = _np(v)
+    os.makedirs(os.path.join(base, "text_encoder"))
+    save_file(tsd, os.path.join(base, "text_encoder", "model.safetensors"))
+    with open(os.path.join(base, "text_encoder", "config.json"), "w") as f:
+        json.dump(model.config.to_dict(), f)
+    os.makedirs(os.path.join(base, "tokenizer"))  # triggers load_tokenizer
+
+
+@requires_reference
+def test_validate_cli_end_to_end(tmp_path, monkeypatch):
+    import physicedit_tpu.cli.validate as cli
+    from physicedit_tpu.pipeline.edit_pipeline import PhysicEditPipeline
+    from tests.test_pipeline_e2e import FakeTokenizer
+
+    base = str(tmp_path / "models")
+    os.makedirs(base)
+    _build_model_dir(base)
+
+    # tiny stand-ins for the two host-side full-size dependencies: the HF
+    # tokenizer files and the 1024^2 resize
+    def fake_load_tokenizer(self, path):
+        self.tokenizer = FakeTokenizer()
+        self.boi_token_id = 96
+        self.eoi_token_id = 95
+        self.edit_drop_idx = 2
+        self.t2i_drop_idx = 2
+
+    monkeypatch.setattr(PhysicEditPipeline, "load_tokenizer",
+                        fake_load_tokenizer)
+    monkeypatch.setattr(cli, "resize_image",
+                        lambda im, target_area=0: im.resize((64, 64)))
+
+    rng = np.random.default_rng(1)
+    in_path = str(tmp_path / "in.png")
+    Image.fromarray(rng.integers(0, 255, (80, 80, 3), dtype=np.uint8)
+                    ).save(in_path)
+    out_path = str(tmp_path / "out" / "edited.png")
+
+    cli.main([
+        "--prompt", "the ball rolls off the table",
+        "--image_path", in_path,
+        "--save_path", out_path,
+        "--base_model_path", base,
+        "--seed", "3",
+        "--num_inference_steps", "2",
+        "--no_text_reasoning",
+    ])
+
+    assert os.path.exists(out_path)
+    out = np.asarray(Image.open(out_path))
+    assert out.shape == (64, 64, 3)
+    assert np.isfinite(out).all() and out.std() > 0
+
+
+@requires_reference
+def test_from_pretrained_infers_tiny_configs(tmp_path):
+    """Size-robust loading: configs come from checkpoint shapes and
+    config.json, not the hard-coded 20B/7B constants."""
+    import glob
+
+    from physicedit_tpu.pipeline.edit_pipeline import PhysicEditPipeline
+
+    base = str(tmp_path / "models")
+    os.makedirs(base)
+    _build_model_dir(base)
+    paths = sorted(glob.glob(os.path.join(base, "**/*.safetensors"),
+                             recursive=True))
+    pipe = PhysicEditPipeline.from_pretrained(paths)
+    assert (pipe.dit_cfg.num_layers, pipe.dit_cfg.dim,
+            pipe.dit_cfg.num_heads, pipe.dit_cfg.head_dim) == (2, 256, 2, 128)
+    assert pipe.dit_cfg.txt_in_dim == 64
+    assert pipe.vae_cfg.base_dim == 8 and pipe.vae_cfg.z_dim == 16
+    assert pipe.text_cfg.hidden_size == 64 and pipe.text_cfg.num_layers == 2
+    assert pipe.text_cfg.num_kv_heads == 2 and pipe.text_cfg.head_dim == 16
+    assert pipe.vision_cfg.depth == 2 and pipe.vision_cfg.out_hidden_size == 64
+    assert pipe.image_pad_id == 99 and pipe.vision_start_id == 98
