@@ -510,7 +510,32 @@ class PhysicEditPipeline:
                  blockwise_controlnet_image=None,
                  blockwise_controlnet_scale: float = 1.0,
                  blockwise_controlnet_start: float = 1.0,
-                 blockwise_controlnet_end: float = 0.0):
+                 blockwise_controlnet_end: float = 0.0,
+                 # Reference API-compat kwargs (qwen_image_physical.py:
+                 # 545-597).  tiled/tile_size/tile_stride are accepted and
+                 # ignored exactly like the reference VAE does
+                 # (qwen_image_vae.py:706,719); rand_device="cpu" is the
+                 # only reference behaviour (our seeded noise already
+                 # reproduces the torch CPU bitstream); fp8 attention was
+                 # measured slower than bf16 on TPU (BASELINE.md) and is a
+                 # no-op; progress_bar_cmd has no per-step Python loop to
+                 # wrap (the denoise is one lax.scan).
+                 tiled: bool = False, tile_size: int = 128,
+                 tile_stride: int = 64, rand_device: str = "cpu",
+                 enable_fp8_attention: bool = False, progress_bar_cmd=None,
+                 is_train: bool = False):
+        del tiled, tile_size, tile_stride, enable_fp8_attention, \
+            progress_bar_cmd
+        if rand_device != "cpu":
+            raise ValueError(
+                "rand_device='cpu' is the only supported mode (the "
+                "reference default; noise reproduces the torch CPU "
+                "bitstream)")
+        if is_train:
+            raise NotImplementedError(
+                "training preprocessing lives in train.Trainer.preprocess "
+                "(the reference folds it into __call__(is_train=True); "
+                "here the trainer owns the pjit train step)")
         height, width = (height + 15) // 16 * 16, (width + 15) // 16 * 16
         lat_h, lat_w = height // 8, width // 8
 

@@ -373,3 +373,30 @@ def test_shard_rejects_quantized_pipeline(tiny_pipe):
     finally:
         tiny_pipe.dit_params = orig
         tiny_pipe.mesh = None
+
+
+def test_reference_api_compat_kwargs(tiny_pipe):
+    """The reference __call__ accepts tiled/rand_device/fp8/progress-bar
+    kwargs (qwen_image_physical.py:545-597); ours must too (no-ops),
+    and reject the modes that genuinely do not exist here."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    edit = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    out = tiny_pipe("nudge the cup", edit_image=edit, height=64, width=64,
+                    seed=5, num_inference_steps=1, have_text_reasoning=False,
+                    edit_image_auto_resize=False,
+                    tiled=True, tile_size=64, tile_stride=32,
+                    rand_device="cpu", enable_fp8_attention=True,
+                    progress_bar_cmd=lambda x: x)
+    assert out.size == (64, 64)
+    with pytest.raises(ValueError, match="rand_device"):
+        tiny_pipe("x", edit_image=edit, height=64, width=64,
+                  num_inference_steps=1, have_text_reasoning=False,
+                  edit_image_auto_resize=False, rand_device="cuda")
+    with pytest.raises(NotImplementedError, match="Trainer.preprocess"):
+        tiny_pipe("x", edit_image=edit, height=64, width=64,
+                  num_inference_steps=1, have_text_reasoning=False,
+                  edit_image_auto_resize=False, is_train=True)
