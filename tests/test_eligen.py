@@ -89,3 +89,26 @@ def test_flash_bias_kernel_matches_xla():
     ref = sdpa_bnsd(q, k, v, bias=bias[:, None])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_eligen_on_quantized_pipeline():
+    """EliGen segments + the W4A8 fused activation-quantize paths compose:
+    the per-CFG-row text rope and the entity attention bias must survive
+    the packed-int4 dispatch."""
+    from tests.test_pipeline_e2e import build_tiny_pipeline
+    from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
+
+    pipe = build_tiny_pipeline()
+    pipe.dit_params = quantize_tree_int4(pipe.dit_params, min_size=1)
+    rng = np.random.default_rng(1)
+    edit = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    mask = Image.fromarray(
+        (np.kron(np.array([[0, 1], [0, 0]]), np.ones((32, 32))) * 255
+         ).astype(np.uint8))
+    out = pipe("swap the mug", edit_image=edit, height=64, width=64, seed=2,
+               num_inference_steps=2, have_text_reasoning=False,
+               edit_image_auto_resize=False,
+               eligen_entity_prompts=["a blue mug"],
+               eligen_entity_masks=[mask])
+    assert out.size == (64, 64)
+    assert np.isfinite(np.asarray(out)).all()
