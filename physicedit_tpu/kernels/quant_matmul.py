@@ -336,12 +336,17 @@ def _unpack_w4_int8(packed):
 # HBM round-trip over the weights, which is why small-M (decode) calls
 # still route to the fused kernel below regardless of this default).
 _W4A8_IMPL = os.environ.get("PHYSICEDIT_W4A8_IMPL", "xla")
+# Minimum M for the XLA unpack+dot route (below it the fused Pallas kernel's
+# 0.5 byte/weight reads win; decode-size calls must stay on it).
+_W4A8_XLA_MIN_M = int(os.environ.get("PHYSICEDIT_W4A8_XLA_MIN_M", "8192"))
 
 
-def set_w4a8_impl(name: str):
-    global _W4A8_IMPL
+def set_w4a8_impl(name: str, xla_min_m: int | None = None):
+    global _W4A8_IMPL, _W4A8_XLA_MIN_M
     assert name in ("pallas", "xla"), name
     _W4A8_IMPL = name
+    if xla_min_m is not None:
+        _W4A8_XLA_MIN_M = xla_min_m
 
 
 def _w4a8_linear_impl(p: dict, x: jax.Array) -> jax.Array:
@@ -385,7 +390,7 @@ def _w4a8_from_q(p: dict, xq, xs, lead, out_dtype) -> jax.Array:
     # crossover: DiT M=16896 is ~2% faster via XLA (38.6 vs 39.5
     # ms/block), VL prefill M=1536 is >2x SLOWER (852 vs 391 ms) — so the
     # impl switch only applies at clearly compute-bound sizes.
-    if _W4A8_IMPL == "xla" and m >= 8192:
+    if _W4A8_IMPL == "xla" and m >= _W4A8_XLA_MIN_M:
         acc = jax.lax.dot_general(xq, _unpack_w4_int8(p["w4"]),
                                   (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.int32)
