@@ -173,8 +173,15 @@ def _layer(p, cfg: QwenVLTextConfig, x, cos, sin, mask_bias, kv_cache=None,
         k_buf, v_buf = kv_cache
         k_buf = jax.lax.dynamic_update_slice(k_buf, k.astype(k_buf.dtype), (0, cache_pos, 0, 0))
         v_buf = jax.lax.dynamic_update_slice(v_buf, v.astype(v_buf.dtype), (0, cache_pos, 0, 0))
-        k_all, v_all = k_buf, v_buf
         new_cache = (k_buf, v_buf)
+        if s > 1 and mask_bias.shape[-1] == s:
+            # prefill with an S-local bias: queries cover every live
+            # position, so attending over the padded cache tail would only
+            # score masked zeros (~40% of the logits at the reasoner
+            # shapes) — attend over the fresh k/v instead
+            k_all, v_all = k, v
+        else:
+            k_all, v_all = k_buf, v_buf
     else:
         k_all, v_all = k, v
         new_cache = None
@@ -271,13 +278,12 @@ def prefill(params, cfg: QwenVLTextConfig, inputs_embeds, position_ids,
     """
     b, s, _ = inputs_embeds.shape
     cos, sin = mrope_cos_sin(position_ids, cfg)
-    pad = max_total_len - s
-    full_mask = jnp.concatenate(
-        [attn_mask.astype(bool), jnp.zeros((b, pad), bool)], axis=1)
-    # queries sit at absolute positions [0, s) of the padded cache axis
+    # S-local causal+padding bias: the padded cache tail holds only zeros
+    # the mask would discard, so prefill attention stays on the live keys
+    # (_layer's s>1 local path)
     q_pos = jnp.arange(s)[:, None]
-    k_pos = jnp.arange(max_total_len)[None, :]
-    ok = (k_pos <= q_pos)[None] & full_mask[:, None, :]
+    k_pos = jnp.arange(s)[None, :]
+    ok = (k_pos <= q_pos)[None] & attn_mask.astype(bool)[:, None, :]
     bias = jnp.where(ok, 0.0, -1e30)[:, None].astype(jnp.float32)
 
     kvh, d = cfg.num_kv_heads, cfg.head_dim
