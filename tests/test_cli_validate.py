@@ -150,3 +150,37 @@ def test_from_pretrained_infers_tiny_configs(tmp_path):
     assert pipe.text_cfg.num_kv_heads == 2 and pipe.text_cfg.head_dim == 16
     assert pipe.vision_cfg.depth == 2 and pipe.vision_cfg.out_hidden_size == 64
     assert pipe.image_pad_id == 99 and pipe.vision_start_id == 98
+
+
+@requires_reference
+def test_from_pretrained_int4_quantized_tiny(tmp_path):
+    """The single-chip serving load path: packed-int4 DiT + VL with fused
+    decode projections, straight from disk files, runs an edit."""
+    import glob
+
+    from physicedit_tpu.pipeline.edit_pipeline import PhysicEditPipeline
+    from tests.test_pipeline_e2e import FakeTokenizer
+
+    base = str(tmp_path / "models")
+    os.makedirs(base)
+    _build_model_dir(base)
+    paths = sorted(glob.glob(os.path.join(base, "**/*.safetensors"),
+                             recursive=True))
+    pipe = PhysicEditPipeline.from_pretrained(paths, quantize="int4")
+    layers = pipe.text_params["layers"]
+    assert "qkv" in layers and "gate_up" in layers["mlp"]  # fused GEMVs
+    # tiny VL leaves sit below the quantize size threshold (float fuse);
+    # the DiT projections are large enough to get the packed-int4 layout
+    assert "w" in layers["qkv"] or "w4" in layers["qkv"]
+    assert "w4" in pipe.dit_params["blocks"]["attn"]["img_qkv"]
+
+    pipe.tokenizer = FakeTokenizer()
+    pipe.boi_token_id, pipe.eoi_token_id = 96, 95
+    pipe.edit_drop_idx = pipe.t2i_drop_idx = 2
+    rng = np.random.default_rng(2)
+    edit = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    out = pipe("tilt the lamp", edit_image=edit, height=64, width=64, seed=1,
+               num_inference_steps=1, have_text_reasoning=False,
+               edit_image_auto_resize=False)
+    assert out.size == (64, 64)
+    assert np.isfinite(np.asarray(out)).all()
