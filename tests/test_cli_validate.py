@@ -153,10 +153,18 @@ def test_from_pretrained_infers_tiny_configs(tmp_path):
 
 
 @requires_reference
-def test_from_pretrained_int4_quantized_tiny(tmp_path):
+def test_from_pretrained_int4_quantized_tiny(tmp_path, monkeypatch):
     """The single-chip serving load path: packed-int4 DiT + VL with fused
-    decode projections, straight from disk files, runs an edit."""
+    decode projections, straight from disk files, runs an edit.  (The
+    256-dim DiT is large enough to hit the real Pallas W4A8 kernel —
+    interpret mode on the CPU test backend.)"""
+    import functools
     import glob
+
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
 
     from physicedit_tpu.pipeline.edit_pipeline import PhysicEditPipeline
     from tests.test_pipeline_e2e import FakeTokenizer
