@@ -4,9 +4,11 @@ The TPU answer to the reference's low-precision compute + CPU-offload VRAM
 manager (diffsynth/vram_management/layers.py:95-171): the 20B-param DiT in
 bf16 (40.7 GB) exceeds the 16 GB of one v5e chip, and the tunnelled host
 link (~1.4 GB/s measured) is far too slow for per-block weight streaming.
-Int4 weights (10.2 GB) keep the whole model HBM-resident, and the
-int8 x int8 dot rides the MXU double rate (measured ~220 TOPS vs ~140
-TFLOPS bf16 at the DiT workload shapes).
+Int4 weights (10.2 GB) keep the whole model HBM-resident.  NB the value
+is RESIDENCY, not MXU rate: standalone int8 and bf16 dots measure the
+SAME speed at the DiT shapes (XLA/Mosaic lower int8 matmul through the
+bf16 MXU path with f32 accumulation; the marketed int8 double rate never
+materialises — BASELINE.md "Remaining levers").
 
 jnp.int4 is unusable on this stack (dot_general recursion bug; and the
 device layout is byte-per-element, so no memory win), so nibbles are

@@ -3,8 +3,9 @@
 The TPU analogue of the reference's fp8 compute mode
 (diffsynth/vram_management/layers.py:115-151: per-row dynamic scaling into
 torch._scaled_mm): weights are quantized offline per-output-channel,
-activations per-row at run time, and the int8xint8->int32 dot rides the
-MXU's double-rate int8 path (v5e: 394 TOPS vs 197 TFLOPS bf16).
+activations per-row at run time.  The win is halved weight HBM traffic —
+measured, the int8 dot itself runs at the same MXU rate as bf16 on this
+chip (kernels/quant_matmul.py docstring, BASELINE.md).
 
 Quantized params replace the 'w' leaf with {'w_q' int8 [K, N],
 'w_scale' f32 [N]}; core.params.linear dispatches on the leaf names, so
