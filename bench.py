@@ -217,8 +217,9 @@ def bench_vl(cfg_name="w4", batch_sizes=(1, 4, 8)):
 
         prefill_once(0)                  # compile
         # min over several calls: the tunnelled link adds 100s-of-ms jitter
+        # (observed 346-811 ms for the same program across runs)
         prefill_s, logits, caches = prefill_once(1)
-        for i in (2, 3, 4):
+        for i in range(2, 9):
             t, logits, caches = prefill_once(i)
             prefill_s = min(prefill_s, t)
         log(f"vl prefill B={b} S={s}: {prefill_s*1e3:.0f} ms")
@@ -237,7 +238,8 @@ def bench_vl(cfg_name="w4", batch_sizes=(1, 4, 8)):
             return time.perf_counter() - t0
 
         decode_once(first)               # compile
-        per_tok = min(decode_once((first + i) % 1000) for i in (1, 2)) / n_dec
+        per_tok = min(decode_once((first + i) % 1000)
+                      for i in (1, 2, 3, 4)) / n_dec
         log(f"vl decode B={b}: {per_tok*1e3:.1f} ms/token total "
             f"({per_tok/b*1e3:.2f} ms/token/item, {cfg_name})")
         results[b] = (prefill_s, per_tok)
