@@ -254,7 +254,12 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
             mp = jnp.pad(mask_full, ((0, 0), (0, pad)))
         else:
             qp, kp, vp, mp = q, k, v, mask_full
-        out = ring_attention(qp, kp, vp, mp, mesh, axis=axis)[:, :, :s_all]
+        # EliGen entity bias rides the ring: sharded on the query axis, key
+        # chunks sliced per hop (parallel/ring_attention.py).
+        bp = None if attn_bias is None else jnp.pad(
+            attn_bias, ((0, 0), (0, pad), (0, pad)))
+        out = ring_attention(qp, kp, vp, mp, mesh, axis=axis,
+                             bias=bp)[:, :, :s_all]
     else:
         bias4 = None if attn_bias is None else attn_bias[:, None]
         out = sdpa_bnsd(q, k, v, key_mask=joint_key_mask, bias=bias4)
@@ -343,8 +348,13 @@ def dit_forward(params, cfg: DiTConfig, img_tokens, txt_tokens, timestep,
     if txt_key_mask is None:
         joint_key_mask = None
     else:
-        joint_key_mask = jnp.concatenate(
-            [txt_key_mask.astype(bool), jnp.ones((b, s_i), bool)], axis=1)
+        # Image tokens are always live: extend the text mask with a True
+        # pad.  (A concatenate with a broadcasted-ones operand used to make
+        # the SPMD partitioner involuntarily full-remat the mask when the
+        # attention wanted it sequence-sharded; pad keeps the operand
+        # sharding propagatable.)
+        joint_key_mask = jnp.pad(txt_key_mask.astype(bool),
+                                 ((0, 0), (0, s_i)), constant_values=True)
 
     body_fn = functools.partial(
         block_forward, cfg=cfg,

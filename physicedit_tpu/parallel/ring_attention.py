@@ -21,13 +21,16 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _chunk_attention_stats(q, k, v, key_mask, scale):
+def _chunk_attention_stats(q, k, v, key_mask, scale, bias_chunk=None):
     """One K/V chunk: returns (out_unnorm, m, l) online-softmax partials.
 
-    q: [B, N, Sq, D]; k/v: [B, N, Sc, D]; key_mask: [B, Sc].
+    q: [B, N, Sq, D]; k/v: [B, N, Sc, D]; key_mask: [B, Sc];
+    bias_chunk: optional additive [B, Sq, Sc] (head-shared, EliGen).
     """
     s = jnp.einsum("bnqd,bnkd->bnqk", q, k,
                    preferred_element_type=jnp.float32) * scale
+    if bias_chunk is not None:
+        s = s + bias_chunk[:, None].astype(jnp.float32)
     s = jnp.where(key_mask[:, None, None, :], s, -1e30)
     m = jnp.max(s, axis=-1, keepdims=True)                      # [B,N,Sq,1]
     p = jnp.exp(s - m)
@@ -65,18 +68,31 @@ def _chunk_partials_pallas(q, k, v, key_mask):
 
 
 def _ring_body(axis_name, q, k, v, key_mask, scale, n_shards,
-               impl: str = "xla"):
+               impl: str = "xla", bias=None):
     use_pallas = impl == "pallas"
+    if bias is not None:
+        # bias: [B, Sq_local, S_full] — this device's query rows against ALL
+        # key columns.  The column block for ring step t is the chunk this
+        # device currently holds: chunk (r - t) mod n (K/V rotate i -> i+1).
+        chunk = k.shape[2]
+        r = jax.lax.axis_index(axis_name)
 
-    def step(carry, _):
+    def step(carry, t):
         o_acc, m_acc, l_acc, k_cur, v_cur, mask_cur = carry
+        if bias is not None:
+            c = jax.lax.rem(r - t + n_shards, n_shards)
+            bias_chunk = jax.lax.dynamic_slice_in_dim(bias, c * chunk, chunk,
+                                                      axis=2)
+        else:
+            bias_chunk = None
         if use_pallas:
             acc, l = _chunk_partials_pallas(q, k_cur, v_cur, mask_cur)
             o_acc = o_acc + acc
             l_acc = l_acc + l
             m_new = m_acc                      # unused in the fixed-max lane
         else:
-            o, m, l = _chunk_attention_stats(q, k_cur, v_cur, mask_cur, scale)
+            o, m, l = _chunk_attention_stats(q, k_cur, v_cur, mask_cur, scale,
+                                             bias_chunk)
             m_new = jnp.maximum(m_acc, m)
             alpha_acc = jnp.exp(m_acc - m_new)
             alpha = jnp.exp(m - m_new)
@@ -92,12 +108,12 @@ def _ring_body(axis_name, q, k, v, key_mask, scale, n_shards,
     # axes type as the rotated K/V (new-shard_map VMA analysis).
     zero = q.astype(jnp.float32) * 0.0
     init = (zero, zero[..., :1] - 1e30, zero[..., :1], k, v, key_mask)
-    (o, m, l, *_), _ = jax.lax.scan(step, init, None, length=n_shards)
+    (o, m, l, *_), _ = jax.lax.scan(step, init, jnp.arange(n_shards))
     return (o / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
 
 def ring_attention(q, k, v, key_mask, mesh: Mesh, axis: str = "model",
-                   impl: str | None = None):
+                   impl: str | None = None, bias=None):
     """Sequence-sharded attention: q/k/v [B, N, S, D] sharded on S over
     `axis`; key_mask [B, S] likewise.  Returns [B, N, S, D], same sharding.
 
@@ -105,8 +121,14 @@ def ring_attention(q, k, v, key_mask, mesh: Mesh, axis: str = "model",
     impl: "pallas" fuses each per-chunk attention into the fixed-max flash
     kernel (partials add — no cross-chunk rescale); "xla" keeps the dense
     online-softmax chunk.  Default: pallas on TPU with head_dim 128.
+    bias: optional head-shared additive [B, S, S] (EliGen entity masks,
+    qwen_image_dit.py:433-498): sharded on the QUERY axis; each ring step
+    slices the key-chunk columns the device currently holds.  Forces the
+    dense-chunk impl (the fixed-max chunk kernel has no 2D-bias+lse lane).
     """
     n_shards = mesh.shape[axis]
+    if bias is not None:
+        impl = "xla"
     if impl is None:
         impl = ("pallas" if q.shape[-1] == 128
                 and jax.devices()[0].platform == "tpu" else "xla")
@@ -131,6 +153,17 @@ def ring_attention(q, k, v, key_mask, mesh: Mesh, axis: str = "model",
 
         sig = inspect.signature(shard_map).parameters
         kw["check_vma" if "check_vma" in sig else "check_rep"] = False
+    if bias is not None:
+        fn = shard_map(
+            lambda q_, k_, v_, m_, b_: body(q=q_, k=k_, v=v_, key_mask=m_,
+                                            bias=b_),
+            mesh=mesh,
+            in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_mask,
+                      P(None, axis, None)),
+            out_specs=spec_qkv,
+            **kw,
+        )
+        return fn(q, k, v, key_mask, bias)
     fn = shard_map(
         lambda q_, k_, v_, m_: body(q=q_, k=k_, v=v_, key_mask=m_),
         mesh=mesh,

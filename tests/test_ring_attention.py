@@ -77,6 +77,69 @@ def test_dit_forward_ring_matches_xla():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ring_attention_entity_bias_matches_full():
+    """EliGen entity bias rides the ring (VERDICT r2: the ring branch used
+    to silently drop it): block-structured additive bias under ring ==
+    dense-with-bias."""
+    mesh = sh.create_mesh(1, 8)
+    rng = np.random.default_rng(3)
+    b, n, s, d = 2, 2, 8 * 32, 32
+    q = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    mask = np.ones((b, s), bool)
+    mask[0, 230:] = False
+    # entity-style block bias: some (query, key) pairs masked out
+    bias = np.zeros((b, s, s), np.float32)
+    bias[0, 10:40, 60:90] = -1e30
+    bias[1, :16, 128:] = -1e30
+    mask_j, bias_j = jnp.asarray(mask), jnp.asarray(bias)
+
+    out = ra.ring_attention(q, k, v, mask_j, mesh, axis=sh.MODEL_AXIS,
+                            bias=bias_j)
+    ref = sdpa_bnsd(q, k, v, key_mask=mask_j, bias=bias_j[:, None])
+    np.testing.assert_allclose(np.asarray(out)[:, :, mask[0]],
+                               np.asarray(ref)[:, :, mask[0]],
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dit_forward_ring_entity_bias_matches_xla():
+    """Entity-masked DiT output under sequence parallelism == dense."""
+    from physicedit_tpu.models import dit as jdit
+    from physicedit_tpu.ops import rope as jrope
+
+    mesh = sh.create_mesh(1, 8)
+    jdit.set_ring_context(mesh, sh.MODEL_AXIS)
+    cfg = jdit.DiTConfig(num_layers=2, dim=64, num_heads=2, head_dim=32,
+                         txt_in_dim=48, patch_dim=64, time_dim=32)
+    params = jdit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(4)
+    s_i, s_t = 32, 8
+    img = jnp.asarray(rng.normal(size=(1, s_i, 64)).astype(np.float32))
+    txt = jnp.asarray(rng.normal(size=(1, s_t, 48)).astype(np.float32))
+    t = jnp.asarray([0.5])
+    ropes = list(map(jnp.asarray, jrope.build_rope_tables(
+        [(1, 4, 8)], s_t, axes_dim=(8, 12, 12))))
+    mask = jnp.ones((1, s_t), bool)
+    bias = np.zeros((1, s_t + s_i, s_t + s_i), np.float32)
+    bias[0, :4, s_t + 16:] = -1e30  # entity segment sees half the image
+    bias = jnp.asarray(bias)
+
+    ref = jdit.dit_forward(params, cfg, img, txt, t, *ropes,
+                           txt_key_mask=mask, attn_bias=bias)
+    out = jdit.dit_forward(params, cfg, img, txt, t, *ropes,
+                           txt_key_mask=mask, attn_impl="ring",
+                           attn_bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+    # and the bias actually changes the output (not a silent no-op)
+    base = jdit.dit_forward(params, cfg, img, txt, t, *ropes,
+                            txt_key_mask=mask, attn_impl="ring")
+    assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-6
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_ulysses_attention_matches_full():
     rng = np.random.default_rng(2)
     b, n, s, d = 1, 8, 8 * 16, 32  # heads == devices
