@@ -139,6 +139,85 @@ class MockBatchPipe(MockPipe):
                 for i in range(len(prompts))]
 
 
+def test_make_prompt_rewriter_cmd():
+    import sys
+
+    from physicedit_tpu.cli.serving import make_prompt_rewriter
+
+    assert make_prompt_rewriter(None) is None
+    up = make_prompt_rewriter(
+        f"{sys.executable} -c \"import sys; print(sys.stdin.read().upper())\"")
+    assert up("hello world") == "HELLO WORLD"
+    # failing command falls back to the original prompt
+    bad = make_prompt_rewriter(f"{sys.executable} -c \"raise SystemExit(3)\"")
+    assert bad("keep me") == "keep me"
+    # nonexistent executable falls back too
+    gone = make_prompt_rewriter("/nonexistent/rewriter")
+    assert gone("still here") == "still here"
+
+
+def test_serving_args_reach_the_sweep(tmp_path, monkeypatch):
+    """The measured-best serving config is launchable from the CLI:
+    --batch_size / --quantize / --prompt_rewriter_cmd flow through
+    inference_pica.main into the sweep + pipeline construction."""
+    import sys
+
+    from physicedit_tpu.cli import inference_pica, serving
+
+    seen = {}
+
+    def fake_from_pretrained(paths, **kw):
+        seen["quantize"] = kw.get("quantize")
+        return MockPipe()
+
+    def fake_sweep(pipe, out_dir, **kw):
+        seen["batch_size"] = kw.get("batch_size")
+        seen["rewriter"] = kw.get("prompt_rewriter")
+
+    from physicedit_tpu.pipeline.edit_pipeline import PhysicEditPipeline
+    monkeypatch.setattr(PhysicEditPipeline, "from_pretrained",
+                        staticmethod(fake_from_pretrained))
+    import physicedit_tpu.eval.sweep as sweep_mod
+    monkeypatch.setattr(sweep_mod, "run_pica_sweep", fake_sweep)
+    inference_pica.main([
+        "--base_model_path", str(tmp_path), "--output_dir", str(tmp_path),
+        "--batch_size", "8", "--quantize", "int4",
+        "--prompt_rewriter_cmd",
+        f"{sys.executable} -c \"import sys; print(sys.stdin.read().upper())\"",
+    ])
+    assert seen["quantize"] == "int4"
+    assert seen["batch_size"] == 8
+    assert seen["rewriter"]("abc") == "ABC"
+
+    # quantize + mesh sharding are alternative memory strategies
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--base_model_path", default=str(tmp_path))
+    p.add_argument("--lora_path", default=None)
+    p.add_argument("--tokenizer_path", default=None)
+    serving.add_serving_args(p)
+    args = p.parse_args(["--quantize", "int4", "--model_parallel", "2"])
+    with pytest.raises(SystemExit):
+        serving.build_pipeline(args)
+
+
+def test_kris_cli_serving_args(tmp_path, monkeypatch):
+    from physicedit_tpu.cli import inference_kris
+
+    seen = {}
+    from physicedit_tpu.pipeline.edit_pipeline import PhysicEditPipeline
+    monkeypatch.setattr(PhysicEditPipeline, "from_pretrained",
+                        staticmethod(lambda paths, **kw: MockPipe()))
+    import physicedit_tpu.eval.sweep as sweep_mod
+    monkeypatch.setattr(sweep_mod, "run_kris_sweep",
+                        lambda pipe, out, **kw: seen.update(kw))
+    inference_kris.main([
+        "--base_model_path", str(tmp_path), "--output_dir", str(tmp_path),
+        "--batch_size", "4",
+    ])
+    assert seen["batch_size"] == 4
+
+
 def test_pica_sweep_batched_buckets(tmp_path):
     """batch_size>1 groups same-/32-bucket images into edit_batch calls;
     stragglers and odd buckets flush at the end."""
