@@ -527,6 +527,128 @@ def _flash_bnsd_bias(q, k, v, key_mask, bias, block_q=DEFAULT_BQ,
     )(q, k, v, key_mask, bias)
 
 
+# ---------------------------------------------------------------------------
+# GQA causal flash attention (Qwen2.5-VL prefill / prompt encoding)
+# ---------------------------------------------------------------------------
+#
+# The reference leans on FA3/SDPA inside HF for the VL model
+# (qwen_image_text_encoder_withdecode.py via transformers internals); the
+# round-2 rebuild ran prefill on dense XLA GQA attention (jnp.repeat'd K/V +
+# a full [B, N, S, S] fp32 logits tensor) — measured as the slowest
+# unexplained stage (549 ms W4 at S=1536, BASELINE.md).  This kernel:
+#
+# - reads each K/V head once per *query-head group* via the BlockSpec index
+#   map (h // group) — no repeated K/V materialisation,
+# - applies the causal + key-padding mask in-kernel from program ids
+#   (supports the left-padded batched-reasoner layout: invalid rows come
+#   out zero and are discarded by the caller),
+# - skips fully-above-diagonal K blocks (`pl.when`) — ~half the MXU work,
+# - online softmax (running max): Qwen has NO q/k norm, logits are
+#   unbounded, so the DiT's fixed-max trick does not apply.
+
+
+def _gqa_causal_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
+                       m_scr, l_scr, acc_scr, *, scale, bq, bk, bk_total):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # K blocks strictly above the causal diagonal contribute nothing.
+    @pl.when(ki * bk <= qi * bq + bq - 1)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        k_pos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        ok = (k_pos <= q_pos) & mask_ref[0, 0][None, :]
+        s = jnp.where(ok, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_scr[:, :1] = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(ki == bk_total - 1)
+    def _finish():
+        # fully-masked rows (left-pad queries) have l == 0 -> output 0,
+        # discarded by the caller
+        out_ref[0, 0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)
+                         ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _gqa_causal_bnsd(q, k, v, key_mask, block_q, block_k):
+    """q: [B, N, S, D]; k/v: [B, KV, S, D] with N % KV == 0 (GQA);
+    key_mask: [B, 1, S] bool.  Causal attention, heads grouped onto KV heads
+    via the BlockSpec index map."""
+    b, n, sq, d = q.shape
+    kv = k.shape[1]
+    group = n // kv
+    sk = k.shape[2]
+    nq, nk = sq // block_q, sk // block_k
+    kernel = functools.partial(_gqa_causal_kernel, scale=1.0 / (d ** 0.5),
+                               bq=block_q, bk=block_k, bk_total=nk)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h, qi, ki: (b_, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, h, qi, ki: (b_, h // group, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, h, qi, ki: (b_, h // group, ki, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b_, h, qi, ki: (b_, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b_, h, qi, ki: (b_, h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+    )(q, k, v, key_mask)
+
+
+def gqa_causal_flash(q, k, v, key_mask, block_q: int | None = None,
+                     block_k: int | None = None):
+    """Causal GQA flash attention for the VL prefill hot path.
+
+    q: [B, S, N, D]; k/v: [B, S, KV, D]; key_mask: [B, S] bool (True =
+    valid key; left- OR right-padded layouts both work — causality is by
+    absolute position).  Returns [B, S, N*D] (the _gqa_attention layout).
+    """
+    b, s, n, d = q.shape
+    if block_q is None:
+        block_q = 512 if s % 512 == 0 else (256 if s % 256 == 0 else 128)
+    if block_k is None:
+        block_k = block_q
+    pad = (-s) % max(block_q, block_k)
+    qt = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    kt = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    vt = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    mask = jnp.pad(key_mask.astype(bool), ((0, 0), (0, pad)))[:, None, :]
+    out = _gqa_causal_bnsd(qt, kt, vt, mask, block_q, block_k)
+    return out[:, :, :s].transpose(0, 2, 1, 3).reshape(b, s, n * d)
+
+
 def flash_attention_bnsd(q, k, v, key_mask=None, bias=None,
                          block_q: int | None = None,
                          block_k: int | None = None,

@@ -93,18 +93,52 @@ def apply_rope_half(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 # Decoder layers
 # ---------------------------------------------------------------------------
 
+import os as _os
+
+# Pallas GQA causal flash kernel for prefill / prompt encoding (kill switch
+# for debugging; decode and non-TPU backends use the dense path regardless).
+_VL_FLASH = _os.environ.get("PHYSICEDIT_VL_FLASH", "1") != "0"
+
+
 def _gqa_attention(q, k, v, mask_bias):
-    """q: [B, S, N, D]; k/v: [B, T, KV, D]; mask_bias: [B, 1, S, T] additive."""
+    """q: [B, S, N, D]; k/v: [B, T, KV, D]; mask_bias: [B, 1, S, T] additive.
+
+    Grouped einsum — K/V are NEVER repeated to N heads (the jnp.repeat of
+    the round-2 version materialised a [B, T, N, D] copy of the cache every
+    layer, which made the weight-read-bound decode cache-copy-bound
+    instead: 28 layers x ~1.5 GB of HBM traffic per token at B=8).  Head
+    h reads KV head h // (N/KV), matching HF's repeat_interleave layout.
+    """
     b, s, n, d = q.shape
     kv = k.shape[2]
-    rep = n // kv
-    k = jnp.repeat(k, rep, axis=2)
-    v = jnp.repeat(v, rep, axis=2)
-    logits = jnp.einsum("bsnd,btnd->bnst", q, k,
+    g = n // kv
+    qg = q.reshape(b, s, kv, g, d)
+    logits = jnp.einsum("bskgd,btkd->bkgst", qg, k,
                         preferred_element_type=jnp.float32) / (d ** 0.5)
-    logits = logits + mask_bias
+    logits = logits + mask_bias[:, None]          # [B, 1, 1, S, T]
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bnst,btnd->bsnd", probs, v).reshape(b, s, n * d)
+    out = jnp.einsum("bkgst,btkd->bskgd", probs, v)
+    return out.reshape(b, s, n * d)
+
+
+def _prefill_attention(q, k, v, mask_bias, key_mask):
+    """Full-sequence causal attention (prefill / prompt encoding).
+
+    Routes to the Pallas GQA flash kernel (kernels/flash_attention.py:
+    grouped K/V reads, in-kernel causal mask, above-diagonal block skip)
+    when the shapes fit the TPU kernel; falls back to the dense XLA path
+    (which materialises a [B, N, S, S] fp32 logits tensor — the round-2
+    prefill bottleneck) otherwise.  key_mask: [B, S] bool or None.
+    """
+    s, d = q.shape[1], q.shape[-1]
+    use_flash = (_VL_FLASH and key_mask is not None and s > 1
+                 and d == 128 and q.shape[2] % k.shape[2] == 0
+                 and jax.devices()[0].platform == "tpu")
+    if use_flash:
+        from physicedit_tpu.kernels.flash_attention import gqa_causal_flash
+
+        return gqa_causal_flash(q, k, v, key_mask)
+    return _gqa_attention(q, k, v, mask_bias)
 
 
 def _mlp(p, x):
@@ -149,9 +183,11 @@ def fuse_decode_projections(params: dict) -> dict:
 
 
 def _layer(p, cfg: QwenVLTextConfig, x, cos, sin, mask_bias, kv_cache=None,
-           cache_pos=None):
+           cache_pos=None, key_mask=None):
     """One decoder layer.  With kv_cache=(k_buf, v_buf) [B, S_max, KV, D] and
-    cache_pos (scalar), runs incrementally and returns the updated cache."""
+    cache_pos (scalar), runs incrementally and returns the updated cache.
+    key_mask: optional [B, S] bool enabling the Pallas causal-flash path for
+    full-sequence (prefill) calls."""
     b, s, _ = x.shape
     n, kvh, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -186,7 +222,12 @@ def _layer(p, cfg: QwenVLTextConfig, x, cos, sin, mask_bias, kv_cache=None,
         k_all, v_all = k, v
         new_cache = None
 
-    attn = _gqa_attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype), mask_bias)
+    if k_all.shape[1] == s and s > 1:
+        attn = _prefill_attention(q, k_all.astype(q.dtype),
+                                  v_all.astype(q.dtype), mask_bias, key_mask)
+    else:
+        attn = _gqa_attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype),
+                              mask_bias)
     x = x + linear(p["o"], attn)
     x = x + _mlp(p["mlp"], rms_norm(x, p["ln2"]["scale"], cfg.eps))
     return x, new_cache
@@ -213,9 +254,11 @@ def text_forward(params, cfg: QwenVLTextConfig, inputs_embeds, position_ids,
     """
     cos, sin = mrope_cos_sin(position_ids, cfg)
     bias = _causal_bias(attn_mask, inputs_embeds.shape[1])
+    key_mask = attn_mask.astype(bool)
 
     def body(x, layer_params):
-        x, _ = _layer(layer_params, cfg, x, cos, sin, bias)
+        x, _ = _layer(layer_params, cfg, x, cos, sin, bias,
+                      key_mask=key_mask)
         return x, None
 
     x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
@@ -292,7 +335,8 @@ def prefill(params, cfg: QwenVLTextConfig, inputs_embeds, position_ids,
         k_buf = jnp.zeros((b, max_total_len, kvh, d), inputs_embeds.dtype)
         v_buf = jnp.zeros((b, max_total_len, kvh, d), inputs_embeds.dtype)
         x, (k_buf, v_buf) = _layer(layer_params, cfg, x, cos, sin, bias,
-                                   kv_cache=(k_buf, v_buf), cache_pos=0)
+                                   kv_cache=(k_buf, v_buf), cache_pos=0,
+                                   key_mask=attn_mask.astype(bool))
         return x, (k_buf, v_buf)
 
     x, caches = jax.lax.scan(body, inputs_embeds, params["layers"])

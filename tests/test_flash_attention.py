@@ -161,3 +161,91 @@ def test_fixedmax_fully_masked_row_is_finite_zero():
                                   variant="fixedmax")
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# GQA causal flash (Qwen2.5-VL prefill kernel)
+# ---------------------------------------------------------------------------
+
+def _gqa_dense_ref(q, k, v, key_mask):
+    """Dense causal GQA reference (the round-2 XLA path)."""
+    from physicedit_tpu.models.qwen_vl import _gqa_attention
+
+    b, s = q.shape[0], q.shape[1]
+    q_pos = jnp.arange(s)[:, None]
+    k_pos = jnp.arange(s)[None, :]
+    ok = (k_pos <= q_pos)[None] & key_mask[:, None, :]
+    bias = jnp.where(ok, 0.0, -1e30)[:, None].astype(jnp.float32)
+    return _gqa_attention(q, k, v, bias)
+
+
+def test_gqa_causal_flash_matches_dense():
+    """28 Q / 4 KV heads grouped via the BlockSpec index map; full mask."""
+    rng = np.random.default_rng(5)
+    b, s, n, kv, d = 1, 384, 8, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, s, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, kv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, kv, d)).astype(np.float32))
+    mask = jnp.ones((b, s), bool)
+    out = fa.gqa_causal_flash(q, k, v, mask, block_q=128, block_k=128)
+    ref = _gqa_dense_ref(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_gqa_causal_flash_left_padded_batch():
+    """The batched-reasoner layout: rows left-padded to a shared bucket;
+    ragged S exercises tail padding; padded query rows are discardable."""
+    rng = np.random.default_rng(6)
+    b, s, n, kv, d = 2, 300, 4, 4, 128
+    q = jnp.asarray(rng.normal(size=(b, s, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, kv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, kv, d)).astype(np.float32))
+    mask = np.ones((b, s), bool)
+    mask[0, :77] = False   # row 0 left-padded by 77
+    mask[1, :5] = False
+    mask_j = jnp.asarray(mask)
+    out = np.asarray(fa.gqa_causal_flash(q, k, v, mask_j,
+                                         block_q=128, block_k=128))
+    ref = np.asarray(_gqa_dense_ref(q, k, v, mask_j))
+    for i in range(b):
+        live = mask[i]
+        np.testing.assert_allclose(out[i][live], ref[i][live],
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_vl_prefill_routes_to_flash_and_matches(monkeypatch):
+    """models/qwen_vl.prefill with the flash path forced on (interpret mode)
+    == the dense path, including the downstream greedy decode handoff."""
+    import physicedit_tpu.models.qwen_vl as m
+
+    cfg = m.QwenVLTextConfig(
+        hidden_size=256, num_layers=2, num_heads=4, num_kv_heads=2,
+        head_dim=128, intermediate_size=256, vocab_size=128)
+    params = m.init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(7)
+    b, s = 2, 256
+    emb = jnp.asarray(rng.normal(size=(b, s, cfg.hidden_size)) * 0.1,
+                      jnp.float32)
+    pids = jnp.broadcast_to(jnp.arange(s)[None, None], (3, b, s))
+    mask = np.ones((b, s), bool)
+    mask[0, :31] = False
+    mask_j = jnp.asarray(mask)
+
+    # platform is cpu here, so _prefill_attention's TPU gate would skip the
+    # kernel — force the route and rely on interpret mode
+    monkeypatch.setattr(m, "_VL_FLASH", True)
+    monkeypatch.setattr(jax, "devices",
+                        lambda *a: [type("D", (), {"platform": "tpu"})()])
+    logits_f, caches_f, hid_f = m.prefill(params, cfg, emb, pids, mask_j,
+                                          max_total_len=s + 8)
+
+    monkeypatch.setattr(m, "_VL_FLASH", False)
+    logits_d, caches_d, hid_d = m.prefill(params, cfg, emb, pids, mask_j,
+                                          max_total_len=s + 8)
+    np.testing.assert_allclose(np.asarray(logits_f), np.asarray(logits_d),
+                               rtol=2e-3, atol=2e-3)
+    for cf, cd in zip(jax.tree_util.tree_leaves(caches_f),
+                      jax.tree_util.tree_leaves(caches_d)):
+        np.testing.assert_allclose(np.asarray(cf), np.asarray(cd),
+                                   rtol=2e-3, atol=2e-3)
