@@ -346,45 +346,107 @@ class PhysicEditPipeline:
         arr = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
         return Image.fromarray(arr)
 
+    def decode_images(self, latents: jax.Array) -> list:
+        """Batched VAE decode: [N, h, w, 16] -> N PIL images in ONE device
+        invocation (sweep serving used to decode per item)."""
+        from PIL import Image
+
+        imgs = m_vae.decode_jit(self.vae_params, latents.astype(self.dtype),
+                                self.vae_cfg)
+        arr = np.asarray(imgs.astype(jnp.float32))
+        if not np.isfinite(arr).all():
+            raise FloatingPointError(
+                "VAE decode produced non-finite pixels - upstream latents "
+                "are NaN/Inf (check the schedule and model outputs)")
+        arr = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        return [Image.fromarray(a) for a in arr]
+
     def edit_image_auto_resize(self, image):
         """~1024-sq /32 resize (qwen_image_physical.py:1252-1263)."""
         w, h = vl_host.calculate_dimensions(1024 * 1024,
                                             image.size[0] / image.size[1])
         return image.resize((w, h))
 
-    def _vl_hidden(self, text: str, images: list):
-        """Tokenize + VL-encode; returns (ids [S], hidden [S, 3584])."""
+    def _vision_features(self, images: list):
+        """Run the vision tower once over a list of PIL images (pre-resized
+        to the VL input size); returns (feats_per_image, grids).
+
+        Sweep serving reuses these across the reasoner + positive +
+        negative prompt encodes of the same edit image (the round-2 path
+        re-ran the 32-layer ViT three times per item)."""
+        patches, grids = vl_host.images_to_patches(images)
+        feats = np.asarray(
+            m_vis.run_vision(self.vision_params, self.vision_cfg,
+                             jnp.asarray(patches, self.dtype), grids)
+            .astype(jnp.float32))
+        counts = [t * (h // 2) * (w // 2) for t, h, w in grids]
+        split = np.split(feats, np.cumsum(counts)[:-1]) if counts else []
+        return list(split), grids
+
+    def _vl_host_inputs(self, text: str, images: list, feats=None,
+                        grids=None):
+        """Host side of one VL-encode row: (ids [S] np.int32,
+        embeds [S, 3584] np.f32, pos [3, S]).  feats/grids optionally carry
+        precomputed vision features (one array per image)."""
         ids = self.tokenizer(text).input_ids
         if images:
-            patches, grids = vl_host.images_to_patches(
-                [vl_host.resize_vl_image(im) for im in images])
+            if feats is None:
+                feats, grids = self._vision_features(
+                    [vl_host.resize_vl_image(im) for im in images])
             ids = vl_host.expand_image_pads(ids, grids, self.image_pad_id)
-            feats = m_vis.run_vision(self.vision_params, self.vision_cfg,
-                                     jnp.asarray(patches, self.dtype), grids)
-            feats = np.asarray(feats.astype(jnp.float32))
+            feats_cat = np.concatenate(feats, axis=0)
         else:
-            grids, feats = [], None
+            grids, feats_cat = [], None
         ids = np.asarray(ids, np.int32)
         embeds = np.asarray(
             m_text.embed_tokens(self.text_params, jnp.asarray(ids))
             .astype(jnp.float32))
-        if feats is not None:
-            embeds = vl_host.scatter_vision_features(embeds, ids, feats,
+        if feats_cat is not None:
+            embeds = vl_host.scatter_vision_features(embeds, ids, feats_cat,
                                                      self.image_pad_id)
-        pos = vl_host.get_rope_index(ids, grids, self.image_pad_id, self.vision_start_id)
+        pos = vl_host.get_rope_index(ids, grids, self.image_pad_id,
+                                     self.vision_start_id)
+        return ids, embeds, pos
+
+    def _vl_hidden(self, text: str, images: list):
+        """Tokenize + VL-encode; returns (ids [S], hidden [S, 3584])."""
+        ids, embeds, pos = self._vl_host_inputs(text, images)
         hidden = m_text.text_forward(
             self.text_params, self.text_cfg,
             jnp.asarray(embeds[None], self.dtype),
             jnp.asarray(pos[:, None, :]), jnp.ones((1, len(ids)), bool))
         return ids, np.asarray(hidden[0].astype(jnp.float32))
 
-    def encode_prompt_edit(self, prompt: str, edit_image):
-        """Edit-path prompt encoding (qwen_image_physical.py:774-800).
+    def _vl_hidden_batch(self, rows: list):
+        """Batched VL encode: rows = [(text, images, feats, grids), ...] ->
+        list of (ids, hidden[:len]) — ONE text_forward over all rows,
+        right-padded to a shared /128 bucket (key-side masking keeps padded
+        rows out of every live row's attention; padded tails are sliced
+        off).  Replaces 2N sequential B=1 encodes in sweep serving."""
+        items = [self._vl_host_inputs(t, ims, f, g) for t, ims, f, g in rows]
+        b = len(items)
+        s_max = max(len(it[0]) for it in items)
+        s_pad = ((s_max + 127) // 128) * 128
+        dim = items[0][1].shape[1]
+        emb_b = np.zeros((b, s_pad, dim), np.float32)
+        pos_b = np.zeros((3, b, s_pad), items[0][2].dtype)
+        mask = np.zeros((b, s_pad), bool)
+        for i, (ids, embeds, pos) in enumerate(items):
+            s = len(ids)
+            emb_b[i, :s] = embeds
+            pos_b[:, i, :s] = pos
+            pos_b[:, i, s:] = pos.max() + 1
+            mask[i, :s] = True
+        hidden = m_text.text_forward(
+            self.text_params, self.text_cfg, jnp.asarray(emb_b, self.dtype),
+            jnp.asarray(pos_b), jnp.asarray(mask))
+        hidden = np.asarray(hidden.astype(jnp.float32))
+        return [(it[0], hidden[i, : len(it[0])])
+                for i, it in enumerate(items)]
 
-        Returns (prompt_emb [S, 3584], special_positions [64] or None).
-        """
-        text = P.edit_prompt_text(prompt)
-        ids, hidden = self._vl_hidden(text, [edit_image])
+    def _edit_hidden_post(self, ids, hidden):
+        """Shared tail of the edit-path encode: drop the template prefix and
+        locate the special-token span (boi/eoi)."""
         hidden = hidden[self.edit_drop_idx:]
         ids_d = ids[self.edit_drop_idx:]
         special = None
@@ -394,6 +456,28 @@ class PhysicEditPipeline:
             if boi.size and eoi.size:
                 special = np.arange(boi[0] + 1, eoi[0])
         return hidden, special
+
+    def encode_prompt_edit(self, prompt: str, edit_image):
+        """Edit-path prompt encoding (qwen_image_physical.py:774-800).
+
+        Returns (prompt_emb [S, 3584], special_positions [64] or None).
+        """
+        text = P.edit_prompt_text(prompt)
+        ids, hidden = self._vl_hidden(text, [edit_image])
+        return self._edit_hidden_post(ids, hidden)
+
+    def encode_prompt_edit_batch(self, prompts: list, edit_images: list,
+                                 feats_list=None, grids=None):
+        """Batched edit-path prompt encoding: ONE text_forward for all
+        rows, with optional precomputed vision features (one per image).
+        Returns a list of (prompt_emb, special_positions)."""
+        rows = []
+        for i, (prompt, im) in enumerate(zip(prompts, edit_images)):
+            f = None if feats_list is None else [feats_list[i]]
+            g = None if feats_list is None else [grids[i]]
+            rows.append((P.edit_prompt_text(prompt), [im], f, g))
+        return [self._edit_hidden_post(ids, hidden)
+                for ids, hidden in self._vl_hidden_batch(rows)]
 
     def encode_prompt(self, prompt: str):
         """T2I-path prompt encoding (no image, drop_idx 34)."""
@@ -414,32 +498,23 @@ class PhysicEditPipeline:
         return self.reason_physical_batch([prompt], [edit_image],
                                           max_new_tokens)[0]
 
-    def _reasoner_inputs(self, prompt: str, edit_image):
+    def _reasoner_inputs(self, prompt: str, edit_image, feats=None,
+                         grid=None):
         """Host side of one reasoner prompt: (embeds [s, D] fp32 np,
-        rope pos [3, s], s)."""
+        rope pos [3, s], s).  feats/grid optionally reuse vision features
+        computed once per edit image (shared with the prompt encodes)."""
         text = P.reasoner_chat_text(P.REASONER_SYSTEM_PROMPT, [
             ("text", "Edit Instruction:"), ("text", prompt),
             ("text", "Edit Image:"), ("image",)])
-        ids = self.tokenizer(text).input_ids
-        patches, grids = vl_host.images_to_patches(
-            [vl_host.resize_vl_image(edit_image)])
-        ids = vl_host.expand_image_pads(ids, grids, self.image_pad_id)
-        ids = np.asarray(ids, np.int32)
-        feats = np.asarray(
-            m_vis.run_vision(self.vision_params, self.vision_cfg,
-                             jnp.asarray(patches, self.dtype), grids)
-            .astype(jnp.float32))
-        embeds = np.asarray(
-            m_text.embed_tokens(self.text_params, jnp.asarray(ids))
-            .astype(jnp.float32))
-        embeds = vl_host.scatter_vision_features(embeds, ids, feats,
-                                                 self.image_pad_id)
-        pos = vl_host.get_rope_index(ids, grids, self.image_pad_id,
-                                     self.vision_start_id)
+        f = None if feats is None else [feats]
+        g = None if feats is None else [grid]
+        ids, embeds, pos = self._vl_host_inputs(
+            text, [edit_image], f, g)
         return embeds, pos, len(ids)
 
     def reason_physical_batch(self, prompts: list, edit_images: list,
-                              max_new_tokens: int = 1000) -> list:
+                              max_new_tokens: int = 1000,
+                              vl_feats=None, vl_grids=None) -> list:
         """Physical reasoning for N edits in ONE prefill + decode.
 
         The greedy decode is weight-read-bound, so a batch of N rows costs
@@ -448,8 +523,11 @@ class PhysicEditPipeline:
         prefill/decode programs are reused across calls; rows stop
         independently at EOS.
         """
-        items = [self._reasoner_inputs(p, im)
-                 for p, im in zip(prompts, edit_images)]
+        items = [self._reasoner_inputs(
+                     p, im,
+                     None if vl_feats is None else vl_feats[i],
+                     None if vl_grids is None else vl_grids[i])
+                 for i, (p, im) in enumerate(zip(prompts, edit_images))]
         b = len(items)
         s_max = max(s for _, _, s in items)
         # Bucket BOTH the prompt length (left-pad, masked) and the cache
@@ -586,9 +664,18 @@ class PhysicEditPipeline:
         extra_tokens = (jnp.concatenate(token_parts, axis=1)
                         if token_parts else None)
 
+        # Vision features once per edit image, shared by the reasoner and
+        # both CFG prompt rows (3 ViT runs -> 1 in the single-image path).
+        vl_feats = vl_grids = None
+        if edit_images:
+            vl_feats, vl_grids = self._vision_features(
+                [vl_host.resize_vl_image(im) for im in edit_images])
+
         physical_txt = ""
         if have_text_reasoning and edit_images:
-            physical_txt = self.reason_physical(prompt, edit_images[0])
+            physical_txt = self.reason_physical_batch(
+                [prompt], [edit_images[0]],
+                vl_feats=[vl_feats[0]], vl_grids=[vl_grids[0]])[0]
 
         # Prompt encoding (CFG positive + negative, batched along batch).
         if multi_edit:
@@ -597,10 +684,11 @@ class PhysicEditPipeline:
             emb_n, special_n = self.encode_prompt_edit_multi(
                 negative_prompt, edit_images)
         elif edit_images:
-            emb_p, special_p = self.encode_prompt_edit(
-                prompt + physical_txt, edit_images[0])
-            emb_n, special_n = self.encode_prompt_edit(
-                negative_prompt, edit_images[0])
+            (emb_p, special_p), (emb_n, special_n) = \
+                self.encode_prompt_edit_batch(
+                    [prompt + physical_txt, negative_prompt],
+                    [edit_images[0]] * 2,
+                    feats_list=[vl_feats[0]] * 2, grids=[vl_grids[0]] * 2)
         else:
             emb_p, special_p = self.encode_prompt(prompt + physical_txt)
             emb_n, special_n = self.encode_prompt(negative_prompt)
@@ -809,23 +897,30 @@ class PhysicEditPipeline:
         img_shapes.append((1, eh // 2, ew // 2))
         extra_tokens = jnp.concatenate(lats, axis=0)
 
-        # Conditioning: the reasoner runs BATCHED (one prefill + decode for
-        # all items — the decode is weight-read-bound so N rows cost ~one);
-        # prompt encode per item; positives then negatives on the batch axis.
+        # Conditioning: the vision tower runs ONCE per item (features are
+        # shared by the reasoner and both CFG prompt rows — the round-2
+        # path ran the 32-layer ViT 3x per item); the reasoner runs BATCHED
+        # (one prefill + decode for all items — the decode is
+        # weight-read-bound so N rows cost ~one); the 2N prompt encodes run
+        # as ONE batched text_forward (positives then negatives).
+        feats_list, grids = self._vision_features(
+            [vl_host.resize_vl_image(im) for im in edit_images])
         physical_txts = [""] * n
         if have_text_reasoning:
-            physical_txts = self.reason_physical_batch(prompts, edit_images)
-        embs, specials = [], []
-        for prompt, ptxt, im in zip(prompts, physical_txts, edit_images):
-            e, sp = self.encode_prompt_edit(prompt + ptxt, im)
-            embs.append(e)
-            specials.append(sp)
+            physical_txts = self.reason_physical_batch(
+                prompts, edit_images, vl_feats=feats_list, vl_grids=grids)
         use_cfg = cfg_scale != 1.0
+        all_prompts = [p + t for p, t in zip(prompts, physical_txts)]
+        all_images = list(edit_images)
         if use_cfg:
-            for im in edit_images:
-                e, sp = self.encode_prompt_edit(negative_prompt, im)
-                embs.append(e)
-                specials.append(sp)
+            all_prompts += [negative_prompt] * n
+            all_images += list(edit_images)
+        enc = self.encode_prompt_edit_batch(
+            all_prompts, all_images, feats_list=feats_list + feats_list
+            if use_cfg else feats_list,
+            grids=grids + grids if use_cfg else grids)
+        embs = [e for e, _ in enc]
+        specials = [sp for _, sp in enc]
 
         bkt = self.txt_len_bucket
         s_t = max(e.shape[0] for e in embs)
@@ -885,7 +980,7 @@ class PhysicEditPipeline:
             adapter_params=adapter_params, special_idx=special_idx,
             t_min=self.t_min, t_max=self.t_max, attn_impl=self.attn_impl,
             lora=self.dit_lora)
-        return [self.decode_image(latents[i:i + 1]) for i in range(n)]
+        return self.decode_images(latents)
 
 
 def _merge_lora_pytree(dit_params: dict, lora: dict, alpha: float) -> dict:
