@@ -21,12 +21,76 @@ from physicedit_tpu.models.dit import DiTConfig
 from physicedit_tpu.train.loss import physic_training_loss
 
 
+def scale_by_adam_low_memory(b1: float = 0.9, b2: float = 0.999,
+                             eps: float = 1e-8,
+                             state_dtype=None) -> optax.GradientTransformation:
+    """Adam with the moment buffers STORED in `state_dtype` (e.g. bf16).
+
+    The moment update and the preconditioned step are computed in fp32
+    every step; only the persisted m / v round through the low dtype.
+    Halves (bf16) the optimizer-state HBM — the difference between a LoRA
+    rank fitting one 16 GB chip or not (the reference trains r=128 on an
+    80 GB A100, train_multigpu.sh:30-37; the trainable surface alone is
+    ~944M params, so fp32 AdamW states cost 7.5 GB).
+
+    state_dtype=None is exact fp32 Adam (matches optax.scale_by_adam).
+    """
+    import jax.numpy as jnp
+
+    sdt = state_dtype
+
+    def store(x):
+        return x if sdt is None else x.astype(sdt)
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=sdt or jnp.float32), params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=zeros,
+            nu=jax.tree_util.tree_map(jnp.copy, zeros))
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+
+        def upd(g, m, v):
+            g = g.astype(jnp.float32)
+            m_new = b1 * m.astype(jnp.float32) + (1 - b1) * g
+            v_new = b2 * v.astype(jnp.float32) + (1 - b2) * g * g
+            step = (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
+            return step, store(m_new), store(v_new)
+
+        flat = jax.tree_util.tree_map(upd, grads, state.mu, state.nu)
+        steps = jax.tree_util.tree_map(lambda t: t[0], flat,
+                                       is_leaf=lambda t: isinstance(t, tuple))
+        mu = jax.tree_util.tree_map(lambda t: t[1], flat,
+                                    is_leaf=lambda t: isinstance(t, tuple))
+        nu = jax.tree_util.tree_map(lambda t: t[2], flat,
+                                    is_leaf=lambda t: isinstance(t, tuple))
+        return steps, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(lr: float = 1e-5, weight_decay: float = 1e-2,
-                   gradient_accumulation_steps: int = 1):
+                   gradient_accumulation_steps: int = 1,
+                   state_dtype=None):
     """AdamW + constant LR; micro-batch gradient accumulation via
     optax.MultiSteps (the Accelerate `accumulate` equivalent,
-    train_physicedit.py:517,655)."""
-    opt = optax.adamw(lr, weight_decay=weight_decay)
+    train_physicedit.py:517,655).  state_dtype stores the Adam moments in
+    a low dtype (bf16) for large-rank LoRA on small-HBM chips."""
+    if state_dtype is None:
+        opt = optax.adamw(lr, weight_decay=weight_decay)
+    else:
+        opt = optax.chain(
+            scale_by_adam_low_memory(state_dtype=state_dtype),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale(-lr),
+        )
     if gradient_accumulation_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=gradient_accumulation_steps)
     return opt

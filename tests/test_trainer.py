@@ -345,3 +345,43 @@ def test_resume_uses_exact_sample_index(trainer, tmp_path):
     t3 = Trainer(trainer.pipe, trainer.dataset, cfg2)
     t3.resume(str(tmp_path))
     assert (t3.global_step, t3.start_epoch, t3.skip_batches) == (9, 1, 0)
+
+
+def test_low_memory_adamw_matches_optax():
+    """scale_by_adam_low_memory: fp32 storage == optax.adamw exactly;
+    bf16 storage tracks it closely and halves the state bytes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from physicedit_tpu.train.train_step import make_optimizer
+
+    params = {"a": jnp.asarray(np.linspace(-1, 1, 64), jnp.float32).reshape(8, 8),
+              "b": jnp.full((4,), 0.5, jnp.float32)}
+    grads_seq = [jax.tree_util.tree_map(
+        lambda p, i=i: 0.1 * jnp.cos(p + i), params) for i in range(5)]
+
+    def run(opt):
+        p, s = params, opt.init(params)
+        for g in grads_seq:
+            u, s = opt.update(g, s, p)
+            p = optax.apply_updates(p, u)
+        return p, s
+
+    ref_p, _ = run(optax.adamw(1e-3, weight_decay=1e-2))
+    fp32_p, _ = run(make_optimizer(1e-3, state_dtype=jnp.float32))
+    for l1, l2 in zip(jax.tree_util.tree_leaves(ref_p),
+                      jax.tree_util.tree_leaves(fp32_p)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=1e-6, atol=1e-7)
+
+    bf16_p, bf16_s = run(make_optimizer(1e-3, state_dtype=jnp.bfloat16))
+    for l1, l2 in zip(jax.tree_util.tree_leaves(ref_p),
+                      jax.tree_util.tree_leaves(bf16_p)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=2e-3, atol=2e-3)
+    mus = jax.tree_util.tree_leaves(bf16_s[0].mu)
+    assert all(m.dtype == jnp.bfloat16 for m in mus)
+    nus = jax.tree_util.tree_leaves(bf16_s[0].nu)
+    assert all(v.dtype == jnp.bfloat16 for v in nus)
