@@ -658,17 +658,20 @@ def flash_attention_bnsd(q, k, v, key_mask=None, bias=None,
     The layout the DiT block uses natively — no transposes; only tail
     padding to block multiples (block defaults divide the production 8448
     joint sequence exactly, zero pad waste).  `bias` is an optional
-    head-shared additive [B, S, S] mask (EliGen).  `variant="online"`
-    selects the running-max kernel (safe for unbounded logits)."""
+    head-shared additive [B, S_q, S_k] mask (EliGen).  `variant="online"`
+    selects the running-max kernel (safe for unbounded logits).  S_q may
+    differ from S_k (the slim last DiT block queries only the base-image
+    rows against the full joint K/V)."""
     b, n, s, d = q.shape
+    sk_in = k.shape[2]
     if block_q is None or block_k is None:
-        bq_auto, bk_auto = _pick_blocks(s, s)
+        bq_auto, bk_auto = _pick_blocks(s, sk_in)
         block_q = block_q or bq_auto
         block_k = block_k or bk_auto
     if key_mask is None:
-        key_mask = jnp.ones((b, s), bool)
+        key_mask = jnp.ones((b, sk_in), bool)
     pad_q = (-s) % block_q
-    pad_k = (-s) % block_k
+    pad_k = (-sk_in) % block_k
     qt = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
     kt = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
     vt = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))

@@ -147,7 +147,7 @@ def _modulate(x, shift, scale, eps):
 def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
                   img_cos, img_sin, txt_cos, txt_sin,
                   joint_key_mask, attn_impl: str = "xla", lora=None,
-                  attn_bias=None):
+                  attn_bias=None, slim_base: int = 0):
     """One dual-stream block (qwen_image_dit.py:359-401).
 
     image: [B, S_i, dim]; text: [B, S_t, dim]; temb_silu: [B, dim] (SiLU
@@ -155,6 +155,14 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
     trainable (A, B) factors (physicedit_tpu.lora layout, layer axis already
     indexed); deltas are applied on activations: y += (x @ A) @ B.
     Returns (text, image).
+
+    slim_base > 0 runs the block as the LAST block of the stack: only the
+    first `slim_base` image rows survive to the DiT output (the denoise
+    loop slices them — sampling/denoise.py:111), so attention queries are
+    restricted to those rows and the text stream / edit-image rows skip
+    their post-attention projections and MLPs entirely (K/V still cover
+    the full joint sequence; surviving rows are bit-identical).  Returns
+    (None, image[:, :slim_base]).
     """
     from physicedit_tpu.lora import lora_delta, lora_delta_fused
 
@@ -231,6 +239,13 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
     k = jnp.concatenate([tk, ik], axis=2)
     v = jnp.concatenate([tv, iv], axis=2)
 
+    if slim_base:
+        assert attn_impl != "ring", "slim last block is a single-chip lane"
+        # queries = base image rows only (joint positions [s_t, s_t+base))
+        q = q[:, :, s_t:s_t + slim_base]
+        if attn_bias is not None:
+            attn_bias = attn_bias[:, s_t:s_t + slim_base]
+
     if attn_impl == "pallas":
         from physicedit_tpu.kernels.flash_attention import flash_attention_bnsd
 
@@ -263,6 +278,38 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
     else:
         bias4 = None if attn_bias is None else attn_bias[:, None]
         out = sdpa_bnsd(q, k, v, key_mask=joint_key_mask, bias=bias4)
+    def mlp(p_mlp, x, shift, scale, fc2_name):
+        h_raw = mod_linear(p_mlp["fc1"], x, shift, scale)  # fc1: no LoRA
+        if use_fq and "w4" in p_mlp["fc2"]:
+            from physicedit_tpu.kernels.fused_quant import gelu_quant
+            from physicedit_tpu.kernels.quant_matmul import w4a8_linear_q
+
+            gq = gelu_quant(h_raw)
+            if gq is not None:
+                return w4a8_linear_q(p_mlp["fc2"], *gq, x.dtype)
+        h = approximate_gelu(h_raw)
+        return with_lora(linear(p_mlp["fc2"], h), fc2_name, h)
+
+    if slim_base:
+        # Last-block fast path: only the surviving base-image rows get
+        # their output projection + MLP; the text stream and edit rows are
+        # dead past this point.
+        if use_fq and "w4" in p["attn"]["to_out"]:
+            from physicedit_tpu.kernels.fused_quant import transpose_quant
+            from physicedit_tpu.kernels.quant_matmul import w4a8_linear_q
+
+            q_all, sc_all = transpose_quant(out)
+            img_o = w4a8_linear_q(p["attn"]["to_out"], q_all, sc_all,
+                                  image.dtype)
+        else:
+            out2 = out.transpose(0, 2, 1, 3).reshape(b, slim_base, d)
+            img_o = with_lora(linear(p["attn"]["to_out"], out2),
+                              "to_out", out2)
+        image = image[:, :slim_base] + im_g1[:, None, :] * img_o
+        image = image + im_g2[:, None, :] * mlp(
+            p["img_mlp"], image, im_sh2, im_sc2, "img_mlp_fc2")
+        return None, image
+
     fq_attn = None
     if use_fq and "w4" in p["attn"]["to_out"] \
             and "w4" in p["attn"]["to_add_out"]:
@@ -289,18 +336,6 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
     image = image + im_g1[:, None, :] * img_o
     text = text + tx_g1[:, None, :] * txt_o
 
-    def mlp(p_mlp, x, shift, scale, fc2_name):
-        h_raw = mod_linear(p_mlp["fc1"], x, shift, scale)  # fc1: no LoRA
-        if use_fq and "w4" in p_mlp["fc2"]:
-            from physicedit_tpu.kernels.fused_quant import gelu_quant
-            from physicedit_tpu.kernels.quant_matmul import w4a8_linear_q
-
-            gq = gelu_quant(h_raw)
-            if gq is not None:
-                return w4a8_linear_q(p_mlp["fc2"], *gq, x.dtype)
-        h = approximate_gelu(h_raw)
-        return with_lora(linear(p_mlp["fc2"], h), fc2_name, h)
-
     image = image + im_g2[:, None, :] * mlp(
         p["img_mlp"], image, im_sh2, im_sc2, "img_mlp_fc2")
     text = text + tx_g2[:, None, :] * mlp(
@@ -310,13 +345,13 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "attn_impl", "use_remat"),
+    static_argnames=("cfg", "attn_impl", "use_remat", "slim_last"),
 )
 def dit_forward(params, cfg: DiTConfig, img_tokens, txt_tokens, timestep,
                 img_cos, img_sin, txt_cos, txt_sin,
                 txt_key_mask=None, attn_impl: str = "xla",
                 use_remat: bool = False, lora=None, control=None,
-                attn_bias=None):
+                attn_bias=None, slim_last: int = 0):
     """Full DiT forward over patchified tokens.
 
     img_tokens: [B, S_i, 64] patchified latents (base image tokens first,
@@ -328,9 +363,13 @@ def dit_forward(params, cfg: DiTConfig, img_tokens, txt_tokens, timestep,
         or [B, 1, S_t, 64] for per-CFG-row text rope (EliGen segments on
         the positive row only; apply_rope broadcasts either shape).
     txt_key_mask: [B, S_t] bool, False for padded text tokens.
+    slim_last: if > 0, the number of base-image tokens — the LAST block
+        then computes only those rows (their outputs are the only ones the
+        denoise loop keeps) and the return is [B, slim_last, 64].
+        Inference-only (requires lora=None, control=None, non-ring).
 
     Returns [B, S_i, 64] output tokens (caller slices to the base image and
-    unpatchifies).
+    unpatchifies), or [B, slim_last, 64] under slim_last.
     """
     b, s_i, _ = img_tokens.shape
     s_t = txt_tokens.shape[1]
@@ -380,13 +419,24 @@ def dit_forward(params, cfg: DiTConfig, img_tokens, txt_tokens, timestep,
 
     ctl_blocks = None if control is None else control["blocks"]
 
+    use_slim = (slim_last > 0 and lora is None and control is None
+                and attn_impl != "ring")
+
     def scan_body(carry, xs):
         block_params, block_lora, ctl_block = xs
         text, image = apply_block(block_params, block_lora, ctl_block, *carry)
         return (text, image), None
 
-    (text, image), _ = jax.lax.scan(
-        scan_body, (text, image), (params["blocks"], lora, ctl_blocks))
+    if use_slim:
+        head = jax.tree_util.tree_map(lambda x: x[:-1], params["blocks"])
+        last = jax.tree_util.tree_map(lambda x: x[-1], params["blocks"])
+        (text, image), _ = jax.lax.scan(
+            scan_body, (text, image), (head, None, None))
+        _, image = body_fn(last, image=image, text=text,
+                           temb_silu=temb_silu, slim_base=slim_last)
+    else:
+        (text, image), _ = jax.lax.scan(
+            scan_body, (text, image), (params["blocks"], lora, ctl_blocks))
 
     # AdaLN-single out (models/utils.py:296-309): scale, shift = chunk(2).
     mod = linear(params["norm_out"]["linear"], temb_silu)

@@ -39,7 +39,8 @@ def _rewrite_special_tokens(adapter_params, prompt_emb, special_idx, timestep,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "attn_impl", "t_min", "t_max", "latent_hw"),
+    static_argnames=("cfg", "attn_impl", "t_min", "t_max", "latent_hw",
+                     "slim_last"),
 )
 def denoise(
     dit_params,
@@ -64,6 +65,7 @@ def denoise(
     attn_bias=None,        # [B, S, S] EliGen entity-mask bias
     inpaint_mask=None,     # [1, h, w, 1] in [0,1]; 1 = repaint region
     input_latents=None,    # [1, h, w, 16] clean latents (inpaint source)
+    slim_last: bool = True,  # last DiT block computes only the base rows
 ):
     """Run the full denoise schedule; returns final latents [N, h, w, 16].
 
@@ -104,10 +106,18 @@ def denoise(
         if use_control:
             control = {"blocks": control_blocks, "cond": control_cond,
                        "scale": ctl_scale}
+        # Last-block slimming (models/dit.py): the final block computes
+        # only the base-image rows that survive the slice below.  Gated
+        # off when LoRA factors / ControlNet residuals / ring attention
+        # need the full last block.
+        slim = ((h // 2) * (w // 2)
+                if (slim_last and lora is None and control is None
+                    and attn_impl != "ring") else 0)
         out = dit_forward(dit_params, cfg, img_tokens, p_emb, t_norm,
                           img_cos, img_sin, txt_cos, txt_sin,
                           txt_key_mask=txt_mask, attn_impl=attn_impl,
-                          control=control, lora=lora, attn_bias=attn_bias)
+                          control=control, lora=lora, attn_bias=attn_bias,
+                          slim_last=slim)
         base_tokens = out[:, : (h // 2) * (w // 2)]
         v = unpatchify(base_tokens, h, w)
 

@@ -236,3 +236,73 @@ def test_apply_rope_per_row_tables():
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(jnp.concatenate([row0, row1])),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_dit_forward_slim_last_matches_full():
+    """Last-block slimming: the surviving base-image rows equal the full
+    forward exactly (same math on a query subset); bias + mask variants."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from physicedit_tpu.models import dit as jdit
+    from physicedit_tpu.ops import rope as jrope
+
+    cfg = jdit.DiTConfig(num_layers=3, dim=64, num_heads=2, head_dim=32,
+                         txt_in_dim=48, patch_dim=64, time_dim=32)
+    params = jdit.init_dit_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+    rng = np.random.default_rng(8)
+    s_base, s_edit, s_t = 16, 16, 8
+    img = jnp.asarray(rng.normal(size=(2, s_base + s_edit, 64)).astype(np.float32))
+    txt = jnp.asarray(rng.normal(size=(2, s_t, 48)).astype(np.float32))
+    t = jnp.asarray([0.5, 0.5])
+    ropes = list(map(jnp.asarray, jrope.build_rope_tables(
+        [(1, 4, 4), (1, 4, 4)], s_t, axes_dim=(8, 12, 12))))
+    mask = np.ones((2, s_t), bool)
+    mask[1, 5:] = False
+    mask = jnp.asarray(mask)
+    bias = np.zeros((2, s_t + s_base + s_edit, s_t + s_base + s_edit), np.float32)
+    bias[0, :4, s_t + 8:] = -1e30
+    bias = jnp.asarray(bias)
+
+    for extra in ({}, {"attn_bias": bias}):
+        full = jdit.dit_forward(params, cfg, img, txt, t, *ropes,
+                                txt_key_mask=mask, **extra)
+        slim = jdit.dit_forward(params, cfg, img, txt, t, *ropes,
+                                txt_key_mask=mask, slim_last=s_base, **extra)
+        assert slim.shape == (2, s_base, 64)
+        np.testing.assert_allclose(np.asarray(slim),
+                                   np.asarray(full)[:, :s_base],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_denoise_slim_last_matches_full():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from physicedit_tpu.models import dit as jdit
+    from physicedit_tpu.ops import rope as jrope
+    from physicedit_tpu.sampling import denoise as dn
+    from physicedit_tpu.sampling import flow_match as fm
+
+    cfg = jdit.DiTConfig(num_layers=2, dim=64, num_heads=2, head_dim=32,
+                         txt_in_dim=48, patch_dim=64, time_dim=32)
+    params = jdit.init_dit_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    rng = np.random.default_rng(9)
+    h = w = 8
+    s_t = 8
+    sched = fm.build_schedule(3, fm.QWEN_IMAGE_CONFIG)
+    lat = jnp.asarray(rng.normal(size=(1, h, w, 16)).astype(np.float32))
+    extra = jnp.asarray(rng.normal(size=(1, 16, 64)).astype(np.float32))
+    pe = jnp.asarray(rng.normal(size=(2, s_t, 48)).astype(np.float32))
+    mask = jnp.ones((2, s_t), bool)
+    ropes = list(map(jnp.asarray, jrope.build_rope_tables(
+        [(1, 4, 4), (1, 4, 4)], s_t, axes_dim=(8, 12, 12))))
+    args = (params, cfg, lat, extra, pe, mask, *ropes,
+            jnp.asarray(sched.sigmas), jnp.asarray(sched.sigmas_next),
+            jnp.asarray(sched.timesteps), jnp.asarray(4.0))
+    out_full = dn.denoise(*args, latent_hw=(h, w), slim_last=False)
+    out_slim = dn.denoise(*args, latent_hw=(h, w), slim_last=True)
+    np.testing.assert_allclose(np.asarray(out_slim), np.asarray(out_full),
+                               rtol=2e-5, atol=2e-5)

@@ -249,3 +249,22 @@ def test_vl_prefill_routes_to_flash_and_matches(monkeypatch):
                       jax.tree_util.tree_leaves(caches_d)):
         np.testing.assert_allclose(np.asarray(cf), np.asarray(cd),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_flash_sq_ne_sk():
+    """Query subset against full K/V (the slim last DiT block)."""
+    rng = np.random.default_rng(11)
+    b, n, sk, sq, d = 1, 2, 384, 128, 128
+    q = jnp.asarray(rng.normal(size=(b, n, sq, d)).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.normal(size=(b, n, sk, d)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.normal(size=(b, n, sk, d)).astype(np.float32))
+    mask = np.ones((b, sk), bool)
+    mask[0, 300:] = False
+    mask_j = jnp.asarray(mask)
+    from physicedit_tpu.ops.attention import sdpa_bnsd
+
+    out = fa.flash_attention_bnsd(q, k, v, key_mask=mask_j,
+                                  block_q=128, block_k=128)
+    ref = sdpa_bnsd(q, k, v, key_mask=mask_j)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
