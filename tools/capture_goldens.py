@@ -144,6 +144,7 @@ def _report(name, got, ref):
 
 
 def compare(args):
+    import jax
     import jax.numpy as jnp
 
     from physicedit_tpu.io.safetensors_io import load_state_dict
@@ -197,6 +198,29 @@ def compare(args):
         if "dit_out_ref" in goldens:
             _report("DiT CFG step", ours.transpose(0, 3, 1, 2),
                     goldens["dit_out_ref"])
+        if getattr(args, "quantize", None):
+            # int4-vs-bf16 output delta on REAL weights (the quality bound
+            # the single-chip W4A8 serving mode ships with, docs/SERVING.md)
+            if args.quantize == "int4":
+                from physicedit_tpu.kernels.quant_matmul import \
+                    quantize_tree_int4 as _q
+            else:
+                from physicedit_tpu.ops.quant import quantize_tree as _q
+            qparams = _q(jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), params))
+            outq = jdit.dit_forward(qparams, cfg,
+                                    tokens.astype(jnp.bfloat16),
+                                    jnp.asarray(goldens["dit_txt"],
+                                                jnp.bfloat16),
+                                    jnp.asarray(goldens["dit_t"],
+                                                jnp.bfloat16),
+                                    ic, isn, tc, ts)
+            oq = np.asarray(unpatchify(outq.astype(jnp.float32), 32, 32))
+            _report(f"DiT {args.quantize} vs fp32 (quant quality delta)",
+                    oq, ours)
+            if "dit_out_ref" in goldens:
+                _report(f"DiT {args.quantize} vs reference",
+                        oq.transpose(0, 3, 1, 2), goldens["dit_out_ref"])
 
     if args.text_encoder_path and "vl_ids" in goldens:
         from physicedit_tpu.io.convert import qwen_vl_text_from_torch
@@ -242,6 +266,10 @@ def main(argv=None):
             sp.add_argument("--out", default="goldens.npz")
         else:
             sp.add_argument("--goldens", default="goldens.npz")
+            sp.add_argument("--quantize", default=None,
+                            choices=["int4", "int8"],
+                            help="also report the quantized-vs-fp32 DiT "
+                                 "output delta (serving quality bound)")
     args = p.parse_args(argv)
     (capture if args.cmd == "capture" else compare)(args)
 
