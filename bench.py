@@ -63,7 +63,9 @@ def fetch(x):
     return float(jnp.asarray(x).astype(jnp.float32).sum())
 
 
-def bench_vae(dtype):
+def bench_vae(dtype, batch: int = 8):
+    """VAE encode/decode at 1024-sq; decode also at the serving batch
+    (edit_batch decodes all items in ONE invocation, decode_images)."""
     from physicedit_tpu.models import vae as jvae
     from physicedit_tpu.models.vae_init import init_vae_params
 
@@ -87,8 +89,68 @@ def bench_vae(dtype):
 
     dec_s = timeit(dec, lambda i: jnp.full((1, lat, lat, 16), 0.01 * (i + 1), dtype))
     enc_s = timeit(enc, lambda i: jnp.full((1, 1024, 1024, 3), 0.01 * (i + 1), dtype))
-    log(f"vae: encode 1024^2 {enc_s*1e3:.0f} ms, decode {dec_s*1e3:.0f} ms")
-    return enc_s, dec_s
+    decb_s = timeit(dec, lambda i: jnp.full((batch, lat, lat, 16),
+                                            0.01 * (i + 1), dtype))
+    log(f"vae: encode 1024^2 {enc_s*1e3:.0f} ms, decode {dec_s*1e3:.0f} ms, "
+        f"decode B={batch} {decb_s*1e3:.0f} ms ({decb_s/batch*1e3:.0f}/item)")
+    return enc_s, dec_s, decb_s
+
+
+def bench_vision(dtype=jnp.bfloat16):
+    """Qwen2.5-VL vision tower on one ~384-sq image (the conditioning
+    image encode — run ONCE per edit and shared by the reasoner + both
+    CFG prompt rows, pipeline/edit_pipeline._vision_features)."""
+    from physicedit_tpu.core.params import linear_init, random_tree_like
+    from physicedit_tpu.models import qwen_vl_vision as m
+
+    cfg = m.QWEN25_VL_VISION
+
+    def init():
+        k = iter(jax.random.split(jax.random.PRNGKey(0), 8))
+        d, mdim = cfg.hidden_size, cfg.hidden_size * cfg.merge_unit
+
+        def block():
+            return {
+                "norm1": {"scale": jnp.ones((d,), dtype)},
+                "qkv": linear_init(next(k), d, 3 * d, dtype),
+                "proj": linear_init(next(k), d, d, dtype),
+                "norm2": {"scale": jnp.ones((d,), dtype)},
+                "mlp": {
+                    "gate": linear_init(next(k), d, cfg.intermediate_size, dtype),
+                    "up": linear_init(next(k), d, cfg.intermediate_size, dtype),
+                    "down": linear_init(next(k), cfg.intermediate_size, d, dtype),
+                },
+            }
+
+        blocks = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[block() for _ in range(cfg.depth)])
+        return {
+            "patch_embed": {"w": jax.random.normal(
+                next(k), (3 * 2 * 14 * 14, d), dtype) * 0.02},
+            "blocks": blocks,
+            "merger": {
+                "ln_q": {"scale": jnp.ones((d,), dtype)},
+                "fc1": linear_init(next(k), mdim, mdim, dtype),
+                "fc2": linear_init(next(k), mdim, cfg.out_hidden_size, dtype),
+            },
+        }
+
+    params = random_tree_like(3, jax.eval_shape(init))
+    grid = [(1, 28, 28)]                     # 392x392 -> 784 patches
+    in_dim = 3 * cfg.temporal_patch_size * cfg.patch_size ** 2
+    rng = np.random.default_rng(0)
+
+    def run(i):
+        patches = jnp.asarray(
+            rng.normal(size=(784, in_dim)) * (0.1 + 0.01 * i), dtype)
+        t0 = time.perf_counter()
+        fetch(m.run_vision(params, cfg, patches, grid))
+        return time.perf_counter() - t0
+
+    run(0)
+    best = min(run(i) for i in (1, 2, 3))
+    log(f"vision tower 392^2: {best*1e3:.0f} ms")
+    return best
 
 
 def bench_dinov2():
@@ -264,64 +326,103 @@ def main():
                           "vs_baseline": 0.0}))
         return
 
-    # ---- 1. MEASURED 60-block W4A8 denoise step -------------------------
+    detail = {"platform": platform, "steps": NUM_STEPS, "blocks": NUM_BLOCKS}
+
+    # ---- 1. MEASURED 60-block W4A8 denoise step (slim last block) -------
     step_s = measure_dit60(NUM_BLOCKS, reps=4)
-    log(f"MEASURED 60-block CFG denoise step (W4A8): {step_s:.3f} s "
-        f"({step_s/NUM_BLOCKS*1e3:.2f} ms/block)")
+    log(f"MEASURED 60-block CFG denoise step (W4A8, slim last): "
+        f"{step_s:.3f} s ({step_s/NUM_BLOCKS*1e3:.2f} ms/block)")
     denoise_s = NUM_STEPS * step_s
+    detail["dit60_step_s"] = step_s
+    detail["denoise_s"] = denoise_s
 
     # ---- 2. bf16 per-block (parity mode, extrapolated) ------------------
     bf16_block_s = bench_dit_bf16_per_block(dtype)
     bf16_step_s = NUM_BLOCKS * bf16_block_s
+    detail["bf16_block_s"] = bf16_block_s
 
     # ---- 3. VL conditioning (packed int4, co-resident budget) -----------
-    vl = bench_vl()
+    # B=1: single edit; B=2: the batched pos+neg prompt encode of one
+    # edit; B=8/16: sweep-serving reasoner + the 2N-row prompt encode.
+    vl = bench_vl(batch_sizes=(1, 2, 8, 16))
     prefill_s, per_tok = vl[1]
+    detail["vl"] = {str(b): {"prefill_s": p, "decode_s_per_tok_total": t}
+                    for b, (p, t) in vl.items()}
 
-    # ---- 4. VAE ----------------------------------------------------------
-    enc_s, dec_s = bench_vae(dtype)
-    bench_dinov2()
+    # ---- 4. VAE + vision tower + DINOv2 ---------------------------------
+    enc_s, dec_s, dec8_s = bench_vae(dtype)
+    vis_s = bench_vision(dtype)
+    dino_s = bench_dinov2()
+    detail.update(vae_encode_s=enc_s, vae_decode_s=dec_s,
+                  vae_decode_b8_s=dec8_s, vision_s=vis_s, dinov2_s=dino_s)
 
-    # ---- Compose ---------------------------------------------------------
-    # reference edit = reasoner (prefill + <=1000-token decode) + prompt
-    # encode (one more prefill) + VAE encode x2 (edit image for latents +
-    # for conditioning) + 40-step denoise + VAE decode
+    # ---- Compose: single-edit latency (validate.py path) ----------------
+    # reference edit = vision tower (features shared by reasoner + both
+    # CFG prompt rows, pipeline/edit_pipeline._vision_features) + reasoner
+    # (prefill + <=1000-token decode) + the pos+neg prompt encode (ONE
+    # B=2 batched text_forward) + VAE encode (edit latents) + 40-step
+    # denoise + VAE decode
     reasoner_s = prefill_s + REASONER_MAX_TOKENS * per_tok
     reasoner_typ_s = prefill_s + REASONER_TYPICAL_TOKENS * per_tok
-    cond_s = prefill_s + 2 * enc_s
+    cond_s = vis_s + vl[2][0] + enc_s
     edit_s = reasoner_s + cond_s + denoise_s + dec_s
     edit_typ_s = reasoner_typ_s + cond_s + denoise_s + dec_s
     edits_per_min = 60.0 / edit_s
-
     bf16_edit_s = reasoner_s + cond_s + NUM_STEPS * bf16_step_s + dec_s
+    detail.update(reasoner_s=reasoner_s, reasoner_typical_s=reasoner_typ_s,
+                  cond_s=cond_s, edit_s=edit_s,
+                  edits_per_min_single=edits_per_min,
+                  edits_per_min_single_typical=60 / edit_typ_s,
+                  bf16_edit_s=bf16_edit_s)
 
-    log("---- stage breakdown (seconds/edit) ----")
+    log("---- stage breakdown (seconds/edit, single-edit latency) ----")
     log(f"  denoise 40x60 W4A8 (measured): {denoise_s:.1f}")
     log(f"  reasoner <=1000 tok:           {reasoner_s:.1f} "
         f"(typical 300 tok: {reasoner_typ_s:.1f})")
-    log(f"  prompt encode + VAE encodes:   {cond_s:.2f}")
+    log(f"  vision + prompt encode + VAE encode: {cond_s:.2f}")
     log(f"  VAE decode:                    {dec_s:.2f}")
     log(f"  TOTAL: {edit_s:.1f}s -> {edits_per_min:.3f} edits/min/chip "
         f"(typical-reasoner: {60/edit_typ_s:.3f})")
     log(f"  [bf16 parity mode, per-block extrapolated: {bf16_edit_s:.1f}s "
         f"-> {60/bf16_edit_s:.3f} edits/min/chip]")
 
-    # Sweep-serving mode (BASELINE config #5): reason_physical_batch runs
-    # one prefill+decode over N items; denoise stays per-item (the chip is
-    # saturated at the 8448-token workload — BASELINE.md).
-    if len(vl) > 1:
-        nb = max(b for b in vl)
+    # ---- Compose: sweep serving (BASELINE config #5 = the reference's
+    # own benchmark mode, a PICA/KRIS sweep).  Per item: the batched
+    # reasoner amortises one prefill + <=1000-token decode over nb items
+    # (reason_physical_batch), the 2*nb prompt rows run as ONE batched
+    # text_forward (encode_prompt_edit_batch ~= prefill at B=2nb), the
+    # vision tower + VAE encode stay per item, the denoise stays per item
+    # (the chip is saturated at the 8448-token workload), and the VAE
+    # decode is batched (decode_images).
+    serving = {}
+    for nb in (b for b in vl if b > 2):
         pre_b, tok_b = vl[nb]
-        item_s = ((pre_b + REASONER_MAX_TOKENS * tok_b + pre_b) / nb
-                  + 2 * enc_s + denoise_s + dec_s)
+        enc_rows = vl.get(2 * nb, (2 * pre_b, None))[0]
+        item_s = ((pre_b + REASONER_MAX_TOKENS * tok_b + enc_rows) / nb
+                  + vis_s + enc_s + denoise_s + dec8_s / 8)
+        serving[nb] = item_s
         log(f"  [sweep serving, {nb} items/batch (config #5): "
-            f"{item_s:.1f}s/item -> {60/item_s:.3f} edits/min/chip]")
+            f"{item_s:.2f}s/item -> {60/item_s:.3f} edits/min/chip]")
+    detail["serving_item_s"] = {str(k): v for k, v in serving.items()}
 
+    best_nb, best_item_s = min(serving.items(), key=lambda kv: kv[1])
+    serving_epm = 60.0 / best_item_s
+    detail.update(serving_best_batch=best_nb,
+                  serving_edits_per_min=serving_epm)
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    # Headline: steady-state sweep-serving throughput — the apples-to-
+    # apples number for the reference's own eval workload (a PICABench /
+    # KRIS sweep, scripts/inference/inference_pica.py:217-303, which the
+    # reference runs one-image-per-GPU-process: 0.25 edits/min on A100).
     print(json.dumps({
-        "metric": "edits_per_min_per_chip_full_pipeline_1024px_40steps",
-        "value": round(edits_per_min, 4),
+        "metric": "edits_per_min_per_chip_sweep_serving_1024px_40steps",
+        "value": round(serving_epm, 4),
         "unit": "edits/min/chip",
-        "vs_baseline": round(edits_per_min / A100_EDITS_PER_MIN_FULL, 3),
+        "vs_baseline": round(serving_epm / A100_EDITS_PER_MIN_FULL, 3),
     }))
 
 

@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cached_inputs_path", type=str, default=None,
                    help="train from a --data_process_output cache instead "
                         "of raw videos")
+    p.add_argument("--optimizer_state_dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="Adam moment storage dtype — bfloat16 halves "
+                        "optimizer-state HBM for large LoRA ranks")
+    p.add_argument("--lora_dtype", default="float32",
+                   choices=("float32", "bfloat16"))
     return p
 
 
@@ -92,7 +98,9 @@ def main(argv=None):
         batch_size=args.batch_size,
         height=args.height, width=args.width, seed=args.seed,
         quantize_frozen=args.quantize_frozen,
-        cached_inputs=args.cached_inputs_path is not None)
+        cached_inputs=args.cached_inputs_path is not None,
+        optimizer_state_dtype=args.optimizer_state_dtype,
+        lora_dtype=args.lora_dtype)
 
     mesh = None
     if args.data_parallel * args.model_parallel > 1:

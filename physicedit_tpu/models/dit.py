@@ -428,10 +428,19 @@ def dit_forward(params, cfg: DiTConfig, img_tokens, txt_tokens, timestep,
         return (text, image), None
 
     if use_slim:
-        head = jax.tree_util.tree_map(lambda x: x[:-1], params["blocks"])
+        # Per-iteration dynamic indexing on the ORIGINAL stacked tree — a
+        # tree_map slice of blocks[:-1] would materialise a near-full copy
+        # of the (10 GB quantized) weights and OOM the chip.
+        def loop_body(i, carry):
+            bp = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, i, 0,
+                                                       keepdims=False),
+                params["blocks"])
+            return apply_block(bp, None, None, *carry)
+
+        text, image = jax.lax.fori_loop(0, cfg.num_layers - 1, loop_body,
+                                        (text, image))
         last = jax.tree_util.tree_map(lambda x: x[-1], params["blocks"])
-        (text, image), _ = jax.lax.scan(
-            scan_body, (text, image), (head, None, None))
         _, image = body_fn(last, image=image, text=text,
                            temb_silu=temb_silu, slim_base=slim_last)
     else:

@@ -64,6 +64,13 @@ class TrainConfig:
     # dataset items are already preprocessed .npz bundles (the reference's
     # cached data-process mode): skip the per-sample frozen-encoder pass
     cached_inputs: bool = False
+    # 'float32' (exact optax.adamw) | 'bfloat16': Adam moment storage
+    # dtype (train_step.scale_by_adam_low_memory) — halves optimizer-state
+    # HBM, the binding constraint for large LoRA ranks on 16 GB chips
+    optimizer_state_dtype: str = "float32"
+    # LoRA factor dtype ('float32' | 'bfloat16'): bf16 halves the
+    # param+grad HBM of the trainable surface
+    lora_dtype: str = "float32"
 
 
 def init_trainable(pipe, cfg: TrainConfig):
@@ -92,7 +99,8 @@ def init_trainable(pipe, cfg: TrainConfig):
         next(keys), 64, pipe.dit_cfg.txt_in_dim))
     adapters.setdefault("vae_time_embed", jax.random.normal(
         next(keys), (MAX_KEY_FRAMES, 64)) * 0.02)
-    lora = jlora.init_dit_lora(next(keys), pipe.dit_cfg, rank=cfg.lora_rank)
+    lora = jlora.init_dit_lora(next(keys), pipe.dit_cfg, rank=cfg.lora_rank,
+                               dtype=getattr(jnp, cfg.lora_dtype))
     return {"lora": lora, "adapters": adapters}
 
 
@@ -109,7 +117,9 @@ class Trainer:
         self.mesh = mesh
         self.optimizer = make_optimizer(
             cfg.learning_rate, cfg.weight_decay,
-            cfg.gradient_accumulation_steps)
+            cfg.gradient_accumulation_steps,
+            state_dtype=(None if cfg.optimizer_state_dtype == "float32"
+                         else getattr(jnp, cfg.optimizer_state_dtype)))
         self.trainable = init_trainable(pipe, cfg)
         self.opt_state = self.optimizer.init(self.trainable)
         self._report_trainable()

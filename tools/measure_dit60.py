@@ -42,7 +42,7 @@ def log(*a):
 
 
 def measure_dit60(num_layers: int = 60, reps: int = 6,
-                  attn_impl: str = "pallas"):
+                  attn_impl: str = "pallas", slim: bool = True):
     from physicedit_tpu.core.params import random_tree_like, tree_size_bytes
     from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
     from physicedit_tpu.models import dit as jdit
@@ -62,13 +62,21 @@ def measure_dit60(num_layers: int = 60, reps: int = 6,
         [(1, grid, grid), (1, grid, grid)], s_t)))
     mask = jnp.ones((b, s_t), bool)
 
+    s_base = grid * grid
+    slim_n = s_base if slim else 0
+
     @jax.jit
     def fwd(params, img_tokens, txt_tokens, tables, mask, salt):
+        # slim_last: the production denoise config (sampling/denoise.py) —
+        # the last block computes only the base rows the Euler step keeps
         out = jdit.dit_forward(params, cfg, img_tokens, txt_tokens,
                                jnp.full((b,), 0.5, dtype), *tables,
-                               txt_key_mask=mask, attn_impl=attn_impl)
-        nxt = jnp.nan_to_num(img_tokens + 0.01 * out, nan=0.1,
-                             posinf=1.0, neginf=-1.0)
+                               txt_key_mask=mask, attn_impl=attn_impl,
+                               slim_last=slim_n)
+        nxt_base = jnp.nan_to_num(
+            img_tokens[:, :s_base] + 0.01 * out[:, :s_base],
+            nan=0.1, posinf=1.0, neginf=-1.0)
+        nxt = jnp.concatenate([nxt_base, img_tokens[:, s_base:]], axis=1)
         return (nxt * (1.0 + salt)).astype(dtype)  # finite, distinct per call
 
     rng = np.random.default_rng(0)

@@ -39,7 +39,8 @@ def log(*a):
 
 
 def run(rank: int = 16, reps: int = 3, num_layers: int = 60,
-        attn_impl: str = "pallas"):
+        attn_impl: str = "pallas", state_dtype: str | None = None,
+        lora_dtype: str = "float32"):
     from physicedit_tpu import lora as jlora
     from physicedit_tpu.core.params import random_tree_like, tree_size_bytes
     from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
@@ -58,7 +59,8 @@ def run(rank: int = 16, reps: int = 3, num_layers: int = 60,
         f"({time.perf_counter()-t0:.0f}s)")
 
     keys = iter(jax.random.split(jax.random.PRNGKey(1), 16))
-    lora = jlora.init_dit_lora(next(keys), cfg, rank=rank)
+    lora = jlora.init_dit_lora(next(keys), cfg, rank=rank,
+                               dtype=getattr(jnp, lora_dtype))
     adapters = {
         "visual_thinking_adapter": jad.init_dual_adapter_params(
             next(keys), cfg.txt_in_dim, cfg.txt_in_dim),
@@ -105,7 +107,9 @@ def run(rank: int = 16, reps: int = 3, num_layers: int = 60,
         "txt_cos": jnp.asarray(txt_cos), "txt_sin": jnp.asarray(txt_sin),
     }
 
-    optimizer = make_optimizer(lr=5e-5)
+    optimizer = make_optimizer(
+        lr=5e-5,
+        state_dtype=None if state_dtype is None else getattr(jnp, state_dtype))
     opt_state = optimizer.init(trainable)
     t_min, t_max = fm.adapter_t_range()
     frozen = {"dit": dit_params}
@@ -140,5 +144,11 @@ if __name__ == "__main__":
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--layers", type=int, default=60)
     ap.add_argument("--attn", default="pallas")
+    ap.add_argument("--state-dtype", default=None,
+                    help="Adam moment storage dtype (e.g. bfloat16) — "
+                         "halves optimizer-state HBM for large ranks")
+    ap.add_argument("--lora-dtype", default="float32",
+                    help="LoRA factor dtype (bfloat16 halves param+grad HBM)")
     args = ap.parse_args()
-    run(args.rank, args.reps, args.layers, args.attn)
+    run(args.rank, args.reps, args.layers, args.attn, args.state_dtype,
+        args.lora_dtype)
