@@ -60,7 +60,7 @@ def _pick_blocks(sq: int, sk: int) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 def _fixedmax_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, l_scr, acc_scr,
-                     *, scale_log2e, bk_total):
+                     *, scale_log2e, bk_total, clamp=True):
     ki = pl.program_id(3)
 
     @pl.when(ki == 0)
@@ -73,7 +73,10 @@ def _fixedmax_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, l_scr, acc_scr,
     v = v_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    p = jnp.exp2(jnp.minimum(s * scale_log2e + bias_ref[0, 0][None, :], CLAMP))
+    sig = s * scale_log2e + bias_ref[0, 0][None, :]
+    if clamp:
+        sig = jnp.minimum(sig, CLAMP)
+    p = jnp.exp2(sig)
     l_scr[:, :1] += jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] += jax.lax.dot_general(p.astype(v.dtype), v,
                                       (((1,), (0,)), ((), ())),
@@ -112,15 +115,16 @@ def _fixedmax_kernel_bias2d(q_ref, k_ref, v_ref, bias_ref, kbias_ref, out_ref,
         out_ref[0, 0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _fixedmax_bnsd(q, k, v, key_bias, block_q, block_k):
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "clamp"))
+def _fixedmax_bnsd(q, k, v, key_bias, block_q, block_k, clamp=True):
     """q/k/v: [B, N, S, D] (S padded to block multiples);
     key_bias: [B, 1, S_k] fp32, 0 for valid keys / -1e30 for masked."""
     b, n, sq, d = q.shape
     sk = k.shape[2]
     nq, nk = sq // block_q, sk // block_k
     kernel = functools.partial(_fixedmax_kernel,
-                               scale_log2e=LOG2E / (d ** 0.5), bk_total=nk)
+                               scale_log2e=LOG2E / (d ** 0.5), bk_total=nk,
+                               clamp=clamp)
     return pl.pallas_call(
         kernel,
         grid=(b, n, nq, nk),
@@ -143,7 +147,8 @@ def _fixedmax_bnsd(q, k, v, key_bias, block_q, block_k):
 
 
 def _fixedmax_kernel_lse(q_ref, k_ref, v_ref, bias_ref, out_ref, l_ref,
-                         l_scr, acc_scr, *, scale_log2e, bk_total):
+                         l_scr, acc_scr, *, scale_log2e, bk_total,
+                         clamp=True):
     """Forward variant that also emits the softmax denominator l (needed
     by the backward kernels)."""
     ki = pl.program_id(3)
@@ -158,7 +163,10 @@ def _fixedmax_kernel_lse(q_ref, k_ref, v_ref, bias_ref, out_ref, l_ref,
     v = v_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    p = jnp.exp2(jnp.minimum(s * scale_log2e + bias_ref[0, 0][None, :], CLAMP))
+    sig = s * scale_log2e + bias_ref[0, 0][None, :]
+    if clamp:
+        sig = jnp.minimum(sig, CLAMP)
+    p = jnp.exp2(sig)
     l_scr[:, :1] += jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] += jax.lax.dot_general(p.astype(v.dtype), v,
                                       (((1,), (0,)), ((), ())),
@@ -170,13 +178,14 @@ def _fixedmax_kernel_lse(q_ref, k_ref, v_ref, bias_ref, out_ref, l_ref,
         l_ref[0, 0] = l_scr[:, :8]
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _fixedmax_bnsd_lse(q, k, v, key_bias, block_q, block_k):
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "clamp"))
+def _fixedmax_bnsd_lse(q, k, v, key_bias, block_q, block_k, clamp=True):
     b, n, sq, d = q.shape
     sk = k.shape[2]
     nq, nk = sq // block_q, sk // block_k
     kernel = functools.partial(_fixedmax_kernel_lse,
-                               scale_log2e=LOG2E / (d ** 0.5), bk_total=nk)
+                               scale_log2e=LOG2E / (d ** 0.5), bk_total=nk,
+                               clamp=clamp)
     return pl.pallas_call(
         kernel,
         grid=(b, n, nq, nk),
@@ -206,7 +215,8 @@ def _fixedmax_bnsd_lse(q, k, v, key_bias, block_q, block_k):
 
 
 def _fm_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dd_ref, l_ref,
-                      dq_ref, dq_scr, *, scale_log2e, scale_nat, bk_total):
+                      dq_ref, dq_scr, *, scale_log2e, scale_nat, bk_total,
+                      clamp=True):
     """dq = (P * (g v^T - D)) @ k * scale  (P recomputed per tile)."""
     ki = pl.program_id(3)
 
@@ -221,11 +231,13 @@ def _fm_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dd_ref, l_ref,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     sig = s * scale_log2e + bias_ref[0, 0][None, :]
-    p = jnp.exp2(jnp.minimum(sig, CLAMP))
+    p = jnp.exp2(jnp.minimum(sig, CLAMP) if clamp else sig)
     p_n = p * (1.0 / jnp.maximum(l_ref[0, 0, :, 0], 1e-30))[:, None]     # softmax weights P
     dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    da = jnp.where(sig < CLAMP, p_n * (dp - dd_ref[0, 0, :, 0][:, None]), 0.0)
+    da = p_n * (dp - dd_ref[0, 0, :, 0][:, None])
+    if clamp:
+        da = jnp.where(sig < CLAMP, da, 0.0)
     dq_scr[:] += jax.lax.dot_general(da.astype(k.dtype), k,
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
@@ -237,7 +249,7 @@ def _fm_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dd_ref, l_ref,
 
 def _fm_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dd_ref, l_ref,
                        dk_ref, dv_ref, dk_scr, dv_scr,
-                       *, scale_log2e, scale_nat, bq_total):
+                       *, scale_log2e, scale_nat, bq_total, clamp=True):
     """dv = P^T g;  dk = (P * (g v^T - D))^T @ q * scale."""
     qi = pl.program_id(3)
 
@@ -253,14 +265,16 @@ def _fm_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dd_ref, l_ref,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     sig = s * scale_log2e + bias_ref[0, 0][None, :]
-    p = jnp.exp2(jnp.minimum(sig, CLAMP))
+    p = jnp.exp2(jnp.minimum(sig, CLAMP) if clamp else sig)
     p_n = p * (1.0 / jnp.maximum(l_ref[0, 0, :, 0], 1e-30))[:, None]
     dv_scr[:] += jax.lax.dot_general(p_n.astype(g.dtype), g,
                                      (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    da = jnp.where(sig < CLAMP, p_n * (dp - dd_ref[0, 0, :, 0][:, None]), 0.0)
+    da = p_n * (dp - dd_ref[0, 0, :, 0][:, None])
+    if clamp:
+        da = jnp.where(sig < CLAMP, da, 0.0)
     dk_scr[:] += jax.lax.dot_general(da.astype(q.dtype), q,
                                      (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
@@ -271,8 +285,9 @@ def _fm_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dd_ref, l_ref,
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _fm_bwd(q, k, v, key_bias, g, dd, l, block_q, block_k):
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_k", "clamp"))
+def _fm_bwd(q, k, v, key_bias, g, dd, l, block_q, block_k, clamp=True):
     b, n, sq, d = q.shape
     sk = k.shape[2]
     nq, nk = sq // block_q, sk // block_k
@@ -281,7 +296,7 @@ def _fm_bwd(q, k, v, key_bias, g, dd, l, block_q, block_k):
 
     dq = pl.pallas_call(
         functools.partial(_fm_bwd_dq_kernel, scale_log2e=scale_log2e,
-                          scale_nat=scale_nat, bk_total=nk),
+                          scale_nat=scale_nat, bk_total=nk, clamp=clamp),
         grid=(b, n, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)),
@@ -302,7 +317,7 @@ def _fm_bwd(q, k, v, key_bias, g, dd, l, block_q, block_k):
 
     dk, dv = pl.pallas_call(
         functools.partial(_fm_bwd_dkv_kernel, scale_log2e=scale_log2e,
-                          scale_nat=scale_nat, bq_total=nq),
+                          scale_nat=scale_nat, bq_total=nq, clamp=clamp),
         grid=(b, n, nk, nq),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h, ki, qi: (b_, h, qi, 0)),
@@ -331,24 +346,27 @@ def _fm_bwd(q, k, v, key_bias, g, dd, l, block_q, block_k):
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _fixedmax_diff(q, k, v, key_bias, block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fixedmax_diff(q, k, v, key_bias, block_q, block_k, clamp=True):
     """Differentiable fixed-max attention (padded shapes; key_bias is a
     non-trainable mask term — its cotangent is zero)."""
-    out, _ = _fixedmax_bnsd_lse(q, k, v, key_bias, block_q, block_k)
+    out, _ = _fixedmax_bnsd_lse(q, k, v, key_bias, block_q, block_k,
+                                clamp=clamp)
     return out
 
 
-def _fixedmax_diff_fwd(q, k, v, key_bias, block_q, block_k):
-    out, l = _fixedmax_bnsd_lse(q, k, v, key_bias, block_q, block_k)
+def _fixedmax_diff_fwd(q, k, v, key_bias, block_q, block_k, clamp=True):
+    out, l = _fixedmax_bnsd_lse(q, k, v, key_bias, block_q, block_k,
+                                clamp=clamp)
     return out, (q, k, v, key_bias, out, l)
 
 
-def _fixedmax_diff_bwd(block_q, block_k, res, g):
+def _fixedmax_diff_bwd(block_q, block_k, clamp, res, g):
     q, k, v, key_bias, out, l = res
     dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     dd = jnp.broadcast_to(dd[..., None], dd.shape + (8,))
-    dq, dk, dv = _fm_bwd(q, k, v, key_bias, g, dd, l, block_q, block_k)
+    dq, dk, dv = _fm_bwd(q, k, v, key_bias, g, dd, l, block_q, block_k,
+                         clamp=clamp)
     return dq, dk, dv, jnp.zeros_like(key_bias)
 
 
@@ -652,7 +670,7 @@ def gqa_causal_flash(q, k, v, key_mask, block_q: int | None = None,
 def flash_attention_bnsd(q, k, v, key_mask=None, bias=None,
                          block_q: int | None = None,
                          block_k: int | None = None,
-                         variant: str = "fixedmax"):
+                         variant: str = "fixedmax", clamp: bool = True):
     """Heads-major fused attention: q/k/v [B, N, S, D] -> [B, N, S, D].
 
     The layout the DiT block uses natively — no transposes; only tail
@@ -685,7 +703,8 @@ def flash_attention_bnsd(q, k, v, key_mask=None, bias=None,
                                       block_q=block_q, block_k=block_k)
         else:
             # differentiable path (custom VJP with Pallas backward kernels)
-            out = _fixedmax_diff(qt, kt, vt, key_bias, block_q, block_k)
+            out = _fixedmax_diff(qt, kt, vt, key_bias, block_q, block_k,
+                                 clamp)
     elif bias is not None:
         bias_p = jnp.pad(bias.astype(jnp.float32),
                          ((0, 0), (0, pad_q), (0, pad_k)))

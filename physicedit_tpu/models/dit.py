@@ -147,7 +147,8 @@ def _modulate(x, shift, scale, eps):
 def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
                   img_cos, img_sin, txt_cos, txt_sin,
                   joint_key_mask, attn_impl: str = "xla", lora=None,
-                  attn_bias=None, slim_base: int = 0):
+                  attn_bias=None, slim_base: int = 0,
+                  attn_clamp: bool = True):
     """One dual-stream block (qwen_image_dit.py:359-401).
 
     image: [B, S_i, dim]; text: [B, S_t, dim]; temb_silu: [B, dim] (SiLU
@@ -250,7 +251,7 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
         from physicedit_tpu.kernels.flash_attention import flash_attention_bnsd
 
         out = flash_attention_bnsd(q, k, v, key_mask=joint_key_mask,
-                                   bias=attn_bias)
+                                   bias=attn_bias, clamp=attn_clamp)
     elif attn_impl == "ring":
         from physicedit_tpu.parallel.ring_attention import ring_attention
 
@@ -343,15 +344,44 @@ def block_forward(p, cfg: DiTConfig, image, text, temb_silu,
     return text, image
 
 
+def attn_clamp_needed(params, cfg: DiTConfig = None) -> bool:
+    """Decide at LOAD time whether the fixed-max attention kernel needs
+    its overflow CLAMP: with per-head RMS-normed q/k scaled by gammas,
+    |q.k|/sqrt(d) <= sqrt(d) * |gamma_q|_inf * |gamma_k|_inf (Cauchy-
+    Schwarz; RoPE rotations are norm-preserving per pair).  When that
+    bound (in exp2 units) sits safely below CLAMP, the min() is
+    mathematically inert and one VPU op per score element is saved in the
+    hot loop.  Returns True (keep the clamp) for pathological gammas.
+    """
+    import numpy as np
+
+    attn = params["blocks"]["attn"]
+    gq = float(np.abs(np.asarray(attn["norm_q"]["scale"],
+                                 np.float32)).max())
+    gk = float(np.abs(np.asarray(attn["norm_k"]["scale"],
+                                 np.float32)).max())
+    gaq = float(np.abs(np.asarray(attn["norm_added_q"]["scale"],
+                                  np.float32)).max())
+    gak = float(np.abs(np.asarray(attn["norm_added_k"]["scale"],
+                                  np.float32)).max())
+    d = attn["norm_q"]["scale"].shape[-1]
+    from physicedit_tpu.kernels.flash_attention import CLAMP, LOG2E
+
+    bound = (d ** 0.5) * max(gq, gaq) * max(gk, gak) * LOG2E
+    return bound >= CLAMP / 2
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "attn_impl", "use_remat", "slim_last"),
+    static_argnames=("cfg", "attn_impl", "use_remat", "slim_last",
+                     "attn_clamp"),
 )
 def dit_forward(params, cfg: DiTConfig, img_tokens, txt_tokens, timestep,
                 img_cos, img_sin, txt_cos, txt_sin,
                 txt_key_mask=None, attn_impl: str = "xla",
                 use_remat: bool = False, lora=None, control=None,
-                attn_bias=None, slim_last: int = 0):
+                attn_bias=None, slim_last: int = 0,
+                attn_clamp: bool = True):
     """Full DiT forward over patchified tokens.
 
     img_tokens: [B, S_i, 64] patchified latents (base image tokens first,
@@ -399,7 +429,7 @@ def dit_forward(params, cfg: DiTConfig, img_tokens, txt_tokens, timestep,
         block_forward, cfg=cfg,
         img_cos=img_cos, img_sin=img_sin, txt_cos=txt_cos, txt_sin=txt_sin,
         joint_key_mask=joint_key_mask, attn_impl=attn_impl,
-        attn_bias=attn_bias)
+        attn_bias=attn_bias, attn_clamp=attn_clamp)
 
     def apply_block(block_params, block_lora, ctl_block, text, image):
         text, image = body_fn(block_params, image=image, text=text,

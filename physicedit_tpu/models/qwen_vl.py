@@ -426,17 +426,21 @@ def greedy_decode(params, cfg: QwenVLTextConfig, caches, first_token,
         bias = jnp.where(ok, 0.0, -1e30)[:, None, None, :].astype(jnp.float32)
         bias = jnp.broadcast_to(bias, (b, 1, 1, s_max))
 
-        def layer_body(i, state):
+        # Weights ride the scan as xs (consumed in place — a fori_loop
+        # with per-layer dynamic_index would COPY every layer's weights
+        # each token, ~4.6 GB of extra HBM traffic); the stacked caches
+        # ride the CARRY, so each layer's single-token K/V lands via an
+        # aliased dynamic_update_slice.
+        def layer_body(state, inp):
             x, kbuf, vbuf = state
-            lp = jax.tree_util.tree_map(
-                lambda t: jax.lax.dynamic_index_in_dim(t, i, 0,
-                                                       keepdims=False),
-                params["layers"])
-            return _decode_layer_inplace(lp, cfg, x, cos, sin, bias,
-                                         kbuf, vbuf, i, pos)
+            lp, i = inp
+            x, kbuf, vbuf = _decode_layer_inplace(lp, cfg, x, cos, sin,
+                                                  bias, kbuf, vbuf, i, pos)
+            return (x, kbuf, vbuf), None
 
-        x, kbuf, vbuf = jax.lax.fori_loop(0, num_layers, layer_body,
-                                          (x, kbuf, vbuf))
+        (x, kbuf, vbuf), _ = jax.lax.scan(
+            layer_body, (x, kbuf, vbuf),
+            (params["layers"], jnp.arange(num_layers)))
         hidden = rms_norm(x, params["norm"]["scale"], cfg.eps)
         logits = lm_logits(params, hidden[:, -1])
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)

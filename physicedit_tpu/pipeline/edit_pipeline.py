@@ -77,6 +77,20 @@ class PhysicEditPipeline:
     txt_len_bucket: int = 64       # pad text length to multiples (bounds the
                                    # denoise compile-cache across prompts)
 
+    @property
+    def attn_clamp(self) -> bool:
+        """Load-time overflow-clamp decision for the fixed-max attention
+        kernel (models/dit.attn_clamp_needed): with RMS-normed q/k the
+        logit bound is set by the trained gammas; when it sits safely
+        below the kernel's CLAMP, the per-element min() is dropped from
+        the hot loop."""
+        if getattr(self, "_attn_clamp", None) is None:
+            from physicedit_tpu.models.dit import attn_clamp_needed
+
+            self._attn_clamp = (True if self.dit_params is None
+                                else attn_clamp_needed(self.dit_params))
+        return self._attn_clamp
+
     def __post_init__(self):
         self.t_min, self.t_max = fm.adapter_t_range()
 
@@ -842,7 +856,7 @@ class PhysicEditPipeline:
             lora=self.dit_lora, attn_bias=attn_bias,
             inpaint_mask=inpaint_mask_lat, input_latents=input_latents,
             control_blocks=ctl_blocks, control_cond=ctl_cond,
-            control_scales=ctl_scales)
+            control_scales=ctl_scales, attn_clamp=self.attn_clamp)
 
         return self.decode_image(latents)
 
@@ -979,7 +993,7 @@ class PhysicEditPipeline:
             latent_hw=(lat_h, lat_w),
             adapter_params=adapter_params, special_idx=special_idx,
             t_min=self.t_min, t_max=self.t_max, attn_impl=self.attn_impl,
-            lora=self.dit_lora)
+            lora=self.dit_lora, attn_clamp=self.attn_clamp)
         return self.decode_images(latents)
 
 

@@ -40,7 +40,7 @@ def _rewrite_special_tokens(adapter_params, prompt_emb, special_idx, timestep,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "attn_impl", "t_min", "t_max", "latent_hw",
-                     "slim_last"),
+                     "slim_last", "attn_clamp"),
 )
 def denoise(
     dit_params,
@@ -66,6 +66,8 @@ def denoise(
     inpaint_mask=None,     # [1, h, w, 1] in [0,1]; 1 = repaint region
     input_latents=None,    # [1, h, w, 16] clean latents (inpaint source)
     slim_last: bool = True,  # last DiT block computes only the base rows
+    attn_clamp: bool = True,  # overflow clamp in the fixed-max kernel
+                              # (models/dit.attn_clamp_needed at load time)
 ):
     """Run the full denoise schedule; returns final latents [N, h, w, 16].
 
@@ -117,7 +119,7 @@ def denoise(
                           img_cos, img_sin, txt_cos, txt_sin,
                           txt_key_mask=txt_mask, attn_impl=attn_impl,
                           control=control, lora=lora, attn_bias=attn_bias,
-                          slim_last=slim)
+                          slim_last=slim, attn_clamp=attn_clamp)
         base_tokens = out[:, : (h // 2) * (w // 2)]
         v = unpatchify(base_tokens, h, w)
 

@@ -268,3 +268,60 @@ def test_flash_sq_ne_sk():
     ref = sdpa_bnsd(q, k, v, key_mask=mask_j)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_fixedmax_noclamp_matches_clamp_on_bounded_inputs():
+    """With RMS-normed q/k the CLAMP is mathematically inert; the no-clamp
+    kernel (one fewer VPU op in the hot loop) must agree exactly."""
+    rng = np.random.default_rng(12)
+    b, n, s, d = 1, 2, 256, 128
+    q = rng.normal(size=(b, n, s, d)).astype(np.float32)
+    k = rng.normal(size=(b, n, s, d)).astype(np.float32)
+    # rms-normalise per head row (the DiT does this before attention)
+    q /= np.sqrt((q ** 2).mean(-1, keepdims=True))
+    k /= np.sqrt((k ** 2).mean(-1, keepdims=True))
+    v = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    q, k = jnp.asarray(q), jnp.asarray(k)
+    mask = np.ones((b, s), bool)
+    mask[0, 200:] = False
+    mask_j = jnp.asarray(mask)
+    a = fa.flash_attention_bnsd(q, k, v, key_mask=mask_j,
+                                block_q=128, block_k=128, clamp=True)
+    bnc = fa.flash_attention_bnsd(q, k, v, key_mask=mask_j,
+                                  block_q=128, block_k=128, clamp=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(bnc),
+                               rtol=0, atol=0)
+
+
+def test_fixedmax_noclamp_backward_matches():
+    def run(clamp):
+        rng = np.random.default_rng(13)
+        b, n, s, d = 1, 1, 128, 128
+        q = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32) * 0.3)
+        k = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32) * 0.3)
+        v = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+
+        def loss(q, k, v):
+            out = fa.flash_attention_bnsd(q, k, v, block_q=128, block_k=128,
+                                          clamp=clamp)
+            return jnp.sum(out ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    for g1, g2 in zip(run(True), run(False)):
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_attn_clamp_needed_gamma_bound():
+    import jax.numpy as jnp
+
+    from physicedit_tpu.models import dit as jdit
+
+    cfg = jdit.DiTConfig(num_layers=2, dim=64, num_heads=2, head_dim=32,
+                         txt_in_dim=48, patch_dim=64, time_dim=32)
+    params = jdit.init_dit_params(jax.random.PRNGKey(0), cfg)
+    assert jdit.attn_clamp_needed(params) is False  # unit gammas: safe
+    params["blocks"]["attn"]["norm_q"]["scale"] = (
+        params["blocks"]["attn"]["norm_q"]["scale"] * 100.0)
+    assert jdit.attn_clamp_needed(params) is True   # pathological gammas

@@ -65,6 +65,11 @@ def measure_dit60(num_layers: int = 60, reps: int = 6,
     s_base = grid * grid
     slim_n = s_base if slim else 0
 
+    # load-time clamp decision, exactly like the pipeline: unit gammas
+    # bound the fixed-max logits far below CLAMP -> the min() is inert
+    clamp = jdit.attn_clamp_needed(params)
+    log(f"attn clamp needed: {clamp}")
+
     @jax.jit
     def fwd(params, img_tokens, txt_tokens, tables, mask, salt):
         # slim_last: the production denoise config (sampling/denoise.py) —
@@ -72,7 +77,7 @@ def measure_dit60(num_layers: int = 60, reps: int = 6,
         out = jdit.dit_forward(params, cfg, img_tokens, txt_tokens,
                                jnp.full((b,), 0.5, dtype), *tables,
                                txt_key_mask=mask, attn_impl=attn_impl,
-                               slim_last=slim_n)
+                               slim_last=slim_n, attn_clamp=clamp)
         nxt_base = jnp.nan_to_num(
             img_tokens[:, :s_base] + 0.01 * out[:, :s_base],
             nan=0.1, posinf=1.0, neginf=-1.0)
