@@ -106,7 +106,8 @@ def bench_vision(dtype=jnp.bfloat16):
     cfg = m.QWEN25_VL_VISION
 
     def init():
-        k = iter(jax.random.split(jax.random.PRNGKey(0), 8))
+        k = iter(jax.random.split(jax.random.PRNGKey(0),
+                                  8 * cfg.depth + 8))
         d, mdim = cfg.hidden_size, cfg.hidden_size * cfg.merge_unit
 
         def block():

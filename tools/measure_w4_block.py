@@ -84,20 +84,28 @@ def main():
                          jnp.bfloat16)
         mask = jnp.ones((b, s_all), bool)
         att_flops = 4 * b * 24 * s_all * s_all * 128
-        for bq, bk in [(768, 1408), (512, 1408), (768, 1024), (512, 1024),
-                       (768, 768), (1408, 1408), (256, 2816), (768, 2816),
-                       (384, 1408), (768, 4224), (192, 1408)]:
-            try:
-                def astep(c, bq=bq, bk=bk):
-                    o = flash_attention_bnsd(c[0], c[0], c[0], key_mask=mask,
-                                             block_q=bq, block_k=bk)
-                    return (o * 0.999, c[1])
+        # v5e VMEM is 128 MB — the large-tile configs (p tile = bq*bk*4
+        # bytes) are well inside it; fewer grid programs amortise the
+        # MXU/VPU phase switches.
+        for bq, bk in [(1408, 1408), (768, 2816),
+                       (2816, 1408), (1408, 2816), (2816, 2816),
+                       (4224, 1408), (1408, 4224), (8448, 1408),
+                       (2816, 4224), (4224, 2816)]:
+            for clamp in (True, False):
+                try:
+                    def astep(c, bq=bq, bk=bk, clamp=clamp):
+                        o = flash_attention_bnsd(c[0], c[0], c[0],
+                                                 key_mask=mask,
+                                                 block_q=bq, block_k=bk,
+                                                 clamp=clamp)
+                        return (o * 0.999, c[1])
 
-                s = chain_time(astep, (q0, q0))
-                log(f"flash bq={bq:4d} bk={bk:4d}: {s*1e3:6.2f} ms "
-                    f"({att_flops/s/1e12:5.1f} TFLOPS)")
-            except Exception as e:  # noqa: BLE001
-                log(f"flash bq={bq} bk={bk}: FAIL {type(e).__name__}")
+                    s = chain_time(astep, (q0, q0))
+                    log(f"flash bq={bq:4d} bk={bk:4d} clamp={int(clamp)}: "
+                        f"{s*1e3:6.2f} ms ({att_flops/s/1e12:5.1f} TFLOPS)")
+                except Exception as e:  # noqa: BLE001
+                    log(f"flash bq={bq} bk={bk} clamp={int(clamp)}: "
+                        f"FAIL {type(e).__name__}")
 
 
 if __name__ == "__main__":
