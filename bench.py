@@ -91,9 +91,12 @@ def bench_vae(dtype, batch: int = 8):
     enc_s = timeit(enc, lambda i: jnp.full((1, 1024, 1024, 3), 0.01 * (i + 1), dtype))
     decb_s = timeit(dec, lambda i: jnp.full((batch, lat, lat, 16),
                                             0.01 * (i + 1), dtype))
-    log(f"vae: encode 1024^2 {enc_s*1e3:.0f} ms, decode {dec_s*1e3:.0f} ms, "
-        f"decode B={batch} {decb_s*1e3:.0f} ms ({decb_s/batch*1e3:.0f}/item)")
-    return enc_s, dec_s, decb_s
+    encb_s = timeit(enc, lambda i: jnp.full((batch, 1024, 1024, 3),
+                                            0.01 * (i + 1), dtype))
+    log(f"vae: encode 1024^2 {enc_s*1e3:.0f} ms (B={batch}: "
+        f"{encb_s/batch*1e3:.0f}/item), decode {dec_s*1e3:.0f} ms "
+        f"(B={batch}: {decb_s/batch*1e3:.0f}/item)")
+    return enc_s, dec_s, decb_s, encb_s
 
 
 def bench_vision(dtype=jnp.bfloat16):
@@ -316,6 +319,48 @@ def bench_vl(cfg_name="w4", batch_sizes=(1, 4, 8)):
     return results
 
 
+def memory_budget(nb: int = 8):
+    """Analytic single-chip residency from the PRODUCTION tree shapes
+    (eval_shape — no allocation): param bytes per model in its serving
+    format, reasoner-cache bytes per sweep item, and the two phase peaks.
+    The serving batch is HBM-bound; this is the arithmetic behind the
+    config-#5 batch choice (docs/SERVING.md)."""
+    from physicedit_tpu.core.params import tree_size_bytes
+    from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
+    from physicedit_tpu.models import dit as jdit
+    from physicedit_tpu.models import qwen_vl as m
+    from physicedit_tpu.models.vae_init import init_vae_params
+
+    def size(f):
+        return tree_size_bytes(jax.eval_shape(f)) / 1e9
+
+    dit = size(lambda: quantize_tree_int4(
+        jdit.init_dit_params(jax.random.PRNGKey(0), jdit.QWEN_IMAGE_CONFIG,
+                             jnp.bfloat16)))
+    text = size(lambda: m.quantize_embedding_int8(m.fuse_decode_projections(
+        quantize_tree_int4(m.init_text_params(
+            jax.random.PRNGKey(0), m.QWEN25_VL_7B_TEXT, jnp.bfloat16)))))
+    vae = size(lambda: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), init_vae_params()))
+    # vision tower W4 (~675M params): qkv+proj+mlp weights at 0.5 B/wt
+    vision = 0.34
+    cfg = m.QWEN25_VL_7B_TEXT
+    s_max = 1536 + REASONER_MAX_TOKENS
+    cache_item = (2 * 28 * s_max * cfg.num_kv_heads
+                  * (cfg.head_dim * 1 + 2)) / 1e9   # int8 + bf16 scale
+    base = dit + text + vision + vae + 0.1
+    cond_peak = base + nb * cache_item + 0.3       # + prefill activations
+    denoise_peak = base + 1.0                      # + denoise workspace
+    log(f"memory budget (GB): dit={dit:.2f} text={text:.2f} "
+        f"vision~{vision:.2f} vae={vae:.2f} base={base:.2f}; "
+        f"int8-KV cache/item={cache_item*1e3:.0f} MB; "
+        f"cond peak @nb={nb}: {cond_peak:.2f}, denoise peak: "
+        f"{denoise_peak:.2f} (HBM 15.75)")
+    return {"dit_gb": dit, "text_gb": text, "vision_gb": vision,
+            "vae_gb": vae, "base_gb": base, "cache_item_gb": cache_item,
+            "cond_peak_gb": cond_peak, "denoise_peak_gb": denoise_peak}
+
+
 def main():
     from physicedit_tpu.ops.attention import default_impl
     from tools.measure_dit60 import measure_dit60
@@ -333,6 +378,7 @@ def main():
         return
 
     detail = {"platform": platform, "steps": NUM_STEPS, "blocks": NUM_BLOCKS}
+    detail["memory"] = memory_budget(nb=8)
 
     # ---- 1. MEASURED 60-block W4A8 denoise step (slim last block) -------
     step_s = measure_dit60(NUM_BLOCKS, reps=4)
@@ -348,19 +394,21 @@ def main():
     detail["bf16_block_s"] = bf16_block_s
 
     # ---- 3. VL conditioning (packed int4, co-resident budget) -----------
-    # B=1: single edit; B=2: the batched pos+neg prompt encode of one
-    # edit; B=8/16: sweep-serving reasoner + the 2N-row prompt encode.
-    vl = bench_vl(batch_sizes=(1, 2, 8, 16))
+    # B=1: single edit; B=2: the prefill chunk size (reason_physical_batch
+    # prefills 2 rows at a time — memory_budget); B=4: the prompt-encode
+    # chunk; B=8/16: sweep-serving decode batches.
+    vl = bench_vl(batch_sizes=(1, 2, 4, 8, 16))
     prefill_s, per_tok = vl[1]
     detail["vl"] = {str(b): {"prefill_s": p, "decode_s_per_tok_total": t}
                     for b, (p, t) in vl.items()}
 
     # ---- 4. VAE + vision tower + DINOv2 ---------------------------------
-    enc_s, dec_s, dec8_s = bench_vae(dtype)
+    enc_s, dec_s, dec8_s, enc8_s = bench_vae(dtype)
     vis_s = bench_vision(dtype)
     dino_s = bench_dinov2()
     detail.update(vae_encode_s=enc_s, vae_decode_s=dec_s,
-                  vae_decode_b8_s=dec8_s, vision_s=vis_s, dinov2_s=dino_s)
+                  vae_decode_b8_s=dec8_s, vae_encode_b8_s=enc8_s,
+                  vision_s=vis_s, dinov2_s=dino_s)
 
     # ---- Compose: single-edit latency (validate.py path) ----------------
     # reference edit = vision tower (features shared by reasoner + both
@@ -393,22 +441,34 @@ def main():
         f"-> {60/bf16_edit_s:.3f} edits/min/chip]")
 
     # ---- Compose: sweep serving (BASELINE config #5 = the reference's
-    # own benchmark mode, a PICA/KRIS sweep).  Per item: the batched
-    # reasoner amortises one prefill + <=1000-token decode over nb items
-    # (reason_physical_batch), the 2*nb prompt rows run as ONE batched
-    # text_forward (encode_prompt_edit_batch ~= prefill at B=2nb), the
-    # vision tower + VAE encode stay per item, the denoise stays per item
-    # (the chip is saturated at the 8448-token workload), and the VAE
-    # decode is batched (decode_images).
+    # own benchmark mode, a PICA/KRIS sweep).  Per item: the reasoner
+    # prefills in chunks of 2 and decodes the full batch in one pass
+    # (reason_physical_batch; the decode is weight-read-bound so nb rows
+    # cost near one), the 2*nb prompt rows encode in chunks of 4
+    # (encode_prompt_edit_batch), the vision tower + VAE encode stay per
+    # item, the denoise stays per item (the chip is saturated at the
+    # 8448-token workload), and the VAE decode is batched
+    # (decode_images).  Chunk sizes are the memory_budget() fit.
+    import math
+
     serving = {}
-    for nb in (b for b in vl if b > 2):
-        pre_b, tok_b = vl[nb]
-        enc_rows = vl.get(2 * nb, (2 * pre_b, None))[0]
-        item_s = ((pre_b + REASONER_MAX_TOKENS * tok_b + enc_rows) / nb
-                  + vis_s + enc_s + denoise_s + dec8_s / 8)
-        serving[nb] = item_s
+    pre2 = vl[2][0]
+    pre4 = vl.get(4, (2 * pre2, None))[0]
+    mem = detail["memory"]
+    for nb in (b for b in vl if b >= 8):
+        tok_b = vl[nb][1]
+        item_s = ((math.ceil(nb / 2) * pre2
+                   + REASONER_MAX_TOKENS * tok_b
+                   + math.ceil(2 * nb / 4) * pre4) / nb
+                  + vis_s + enc8_s / 8 + denoise_s + dec8_s / 8)
+        # single-chip feasibility: resident models + int8-KV caches +
+        # chunked-prefill activations inside the 15.75 GB HBM
+        fits = (mem["base_gb"] + nb * mem["cache_item_gb"] + 0.3) <= 15.75
+        if fits:
+            serving[nb] = item_s
         log(f"  [sweep serving, {nb} items/batch (config #5): "
-            f"{item_s:.2f}s/item -> {60/item_s:.3f} edits/min/chip]")
+            f"{item_s:.2f}s/item -> {60/item_s:.3f} edits/min/chip"
+            f"{'' if fits else ' — EXCEEDS single-chip HBM, not composed'}]")
     detail["serving_item_s"] = {str(k): v for k, v in serving.items()}
 
     best_nb, best_item_s = min(serving.items(), key=lambda kv: kv[1])

@@ -47,9 +47,11 @@ def _pick_blocks(sq: int, sk: int) -> tuple[int, int]:
     """Largest well-performing blocks that divide the (padded) lengths.
 
     Measured on v5e at the 8448 workload (tools/measure_w4_block.py
-    --attn-sweep): (1408, 1408) 14.40 ms ~= (768, 2816) < (768, 1408)
-    14.57 < (512, 1024) 17.3; any multiple-of-128 block divides after
-    padding."""
+    --attn-sweep, round 3): (768, 2816) 14.17-14.29 ms < (1408, 1408)
+    14.51-14.56 < (512, 1024) 17.3; tiles larger than ~2816 fail to
+    compile (VMEM); any multiple-of-128 block divides after padding."""
+    if sq % 768 == 0 and sk % 2816 == 0:
+        return 768, 2816
     bq = 1408 if sq % 1408 == 0 else (768 if sq % 768 == 0 else DEFAULT_BQ)
     bk = 1408 if sk % 1408 == 0 else DEFAULT_BK
     return bq, bk

@@ -305,8 +305,30 @@ def init_text_params(key, cfg: QwenVLTextConfig, dtype=jnp.float32):
     }
 
 
+def quantize_embedding_int8(params: dict) -> dict:
+    """Per-row int8 quantization of the token embedding table.
+
+    The [152k, 3584] bf16 table is 1.09 GB of the VL stack's residency;
+    int8 halves it at per-row scales (embeddings tolerate 8-bit easily —
+    max relative row error ~0.4%).  embed_tokens dequantizes on gather.
+    """
+    e = params["embed"]
+    if isinstance(e, dict):
+        return params
+    ef = jnp.asarray(e, jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(ef), axis=1), 1e-8)
+    e8 = jnp.round(ef / amax[:, None] * 127.0).astype(jnp.int8)
+    return dict(params, embed={"e8": e8,
+                               "e_scale": (amax / 127.0).astype(jnp.bfloat16)})
+
+
 def embed_tokens(params, input_ids):
-    return params["embed"][input_ids]
+    e = params["embed"]
+    if isinstance(e, dict):  # int8-quantized table (quantize_embedding_int8)
+        rows = e["e8"][input_ids].astype(jnp.float32) \
+            * e["e_scale"][input_ids].astype(jnp.float32)[..., None]
+        return rows.astype(e["e_scale"].dtype)
+    return e[input_ids]
 
 
 def lm_logits(params, hidden):
@@ -330,15 +352,39 @@ def _decode_layer_inplace(p, cfg: QwenVLTextConfig, x, cos, sin, mask_bias,
     q = apply_rope_half(q, cos, sin)
     k = apply_rope_half(k, cos, sin)
 
-    kbuf = jax.lax.dynamic_update_slice(
-        kbuf, k[None].astype(kbuf.dtype), (layer_idx, 0, pos, 0, 0))
-    vbuf = jax.lax.dynamic_update_slice(
-        vbuf, v[None].astype(vbuf.dtype), (layer_idx, 0, pos, 0, 0))
-    k_all = jax.lax.dynamic_index_in_dim(kbuf, layer_idx, 0, keepdims=False)
-    v_all = jax.lax.dynamic_index_in_dim(vbuf, layer_idx, 0, keepdims=False)
+    if isinstance(kbuf, tuple):  # int8 cache: (buf int8, scale)
+        k8b, ksb = kbuf
+        v8b, vsb = vbuf
+        k8, ks = _kv_quantize(k)
+        v8, vs = _kv_quantize(v)
+        k8b = jax.lax.dynamic_update_slice(k8b, k8[None],
+                                           (layer_idx, 0, pos, 0, 0))
+        ksb = jax.lax.dynamic_update_slice(ksb, ks[None],
+                                           (layer_idx, 0, pos, 0))
+        v8b = jax.lax.dynamic_update_slice(v8b, v8[None],
+                                           (layer_idx, 0, pos, 0, 0))
+        vsb = jax.lax.dynamic_update_slice(vsb, vs[None],
+                                           (layer_idx, 0, pos, 0))
+        k_all = _kv_dequantize(
+            jax.lax.dynamic_index_in_dim(k8b, layer_idx, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(ksb, layer_idx, 0, keepdims=False),
+            q.dtype)
+        v_all = _kv_dequantize(
+            jax.lax.dynamic_index_in_dim(v8b, layer_idx, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(vsb, layer_idx, 0, keepdims=False),
+            q.dtype)
+        kbuf, vbuf = (k8b, ksb), (v8b, vsb)
+    else:
+        kbuf = jax.lax.dynamic_update_slice(
+            kbuf, k[None].astype(kbuf.dtype), (layer_idx, 0, pos, 0, 0))
+        vbuf = jax.lax.dynamic_update_slice(
+            vbuf, v[None].astype(vbuf.dtype), (layer_idx, 0, pos, 0, 0))
+        k_all = jax.lax.dynamic_index_in_dim(kbuf, layer_idx, 0,
+                                             keepdims=False).astype(q.dtype)
+        v_all = jax.lax.dynamic_index_in_dim(vbuf, layer_idx, 0,
+                                             keepdims=False).astype(q.dtype)
 
-    attn = _gqa_attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype),
-                          mask_bias)
+    attn = _gqa_attention(q, k_all, v_all, mask_bias)
     x = x + linear(p["o"], attn)
     x = x + _mlp(p["mlp"], rms_norm(x, p["ln2"]["scale"], cfg.eps))
     return x, kbuf, vbuf
@@ -348,13 +394,31 @@ def _decode_layer_inplace(p, cfg: QwenVLTextConfig, x, cos, sin, mask_bias,
 # Greedy KV-cache decoding (the inference-time physical reasoner)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_total_len"))
+def _kv_quantize(kv):
+    """[.., KV, D] -> (int8 [.., KV, D], per-(pos, head) scale [.., KV])."""
+    a = jnp.maximum(jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=-1), 1e-8)
+    q = jnp.round(kv.astype(jnp.float32) / a[..., None] * 127.0
+                  ).astype(jnp.int8)
+    return q, (a / 127.0).astype(jnp.bfloat16)
+
+
+def _kv_dequantize(q, s, dtype):
+    return (q.astype(jnp.float32)
+            * s.astype(jnp.float32)[..., None]).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_total_len",
+                                             "kv_int8"))
 def prefill(params, cfg: QwenVLTextConfig, inputs_embeds, position_ids,
-            attn_mask, max_total_len: int):
+            attn_mask, max_total_len: int, kv_int8: bool = False):
     """Run the prompt, build the KV cache padded to max_total_len.
 
-    Returns (last_token_logits [B, V], kv_caches [L, 2, B, S_max, KV, D],
-    last_hidden [B, S, D]).
+    Returns (last_token_logits [B, V], kv_caches, last_hidden [B, S, D]).
+    kv_caches is (k, v) each [L, B, S_max, KV, D], or with kv_int8 the
+    4-tuple (k8, k_scale, v8, v_scale) — int8 per-(position, head) scaled
+    entries, halving the per-item cache residency in sweep serving (each
+    reasoner row's bf16 cache is ~145 MB at the 1536+1000 layout; the
+    batch size is HBM-bound, docs/SERVING.md).
     """
     b, s, _ = inputs_embeds.shape
     cos, sin = mrope_cos_sin(position_ids, cfg)
@@ -374,6 +438,10 @@ def prefill(params, cfg: QwenVLTextConfig, inputs_embeds, position_ids,
         x, (k_buf, v_buf) = _layer(layer_params, cfg, x, cos, sin, bias,
                                    kv_cache=(k_buf, v_buf), cache_pos=0,
                                    key_mask=attn_mask.astype(bool))
+        if kv_int8:
+            k8, ks = _kv_quantize(k_buf)
+            v8, vs = _kv_quantize(v_buf)
+            return x, (k8, ks, v8, vs)
         return x, (k_buf, v_buf)
 
     x, caches = jax.lax.scan(body, inputs_embeds, params["layers"])
@@ -406,9 +474,15 @@ def greedy_decode(params, cfg: QwenVLTextConfig, caches, first_token,
     (post-EOS slots are EOS-filled).
     """
     b = first_token.shape[0]
-    kbuf0, vbuf0 = caches  # [L, B, S_max, KV, D] each (prefill scan ys)
-    s_max = kbuf0.shape[2]
-    num_layers = kbuf0.shape[0]
+    if len(caches) == 4:   # int8 cache (prefill kv_int8=True)
+        k8, ks, v8, vs = caches
+        kbuf0, vbuf0 = (k8, ks), (v8, vs)
+        lead = k8
+    else:                  # [L, B, S_max, KV, D] each (prefill scan ys)
+        kbuf0, vbuf0 = caches
+        lead = kbuf0
+    s_max = lead.shape[2]
+    num_layers = lead.shape[0]
 
     def step(carry, _):
         tok, pos, rope_pos, kbuf, vbuf, done = carry

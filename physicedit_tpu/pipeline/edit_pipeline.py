@@ -76,6 +76,8 @@ class PhysicEditPipeline:
     controlnet_params: dict | None = None  # blockwise ControlNet (models/controlnet)
     txt_len_bucket: int = 64       # pad text length to multiples (bounds the
                                    # denoise compile-cache across prompts)
+    kv_int8: bool = False          # int8 reasoner KV cache (serving mode:
+                                   # halves the per-item cache residency)
 
     @property
     def attn_clamp(self) -> bool:
@@ -191,12 +193,22 @@ class PhysicEditPipeline:
             if "dit_params" in kw:
                 kw["dit_params"] = quantize_tree_int4(kw["dit_params"])
             if "text_params" in kw:
-                from physicedit_tpu.models.qwen_vl import fuse_decode_projections
+                from physicedit_tpu.models.qwen_vl import (
+                    fuse_decode_projections, quantize_embedding_int8)
 
                 # fused qkv / gate_up: one GEMV + one row-quantize per
-                # group — the launch-latency win for the M=1 reasoner decode
-                kw["text_params"] = fuse_decode_projections(
-                    quantize_tree_int4(kw["text_params"]))
+                # group — the launch-latency win for the M=1 reasoner
+                # decode; the embedding table goes int8 (per-row scales,
+                # -0.55 GB of the single-chip residency budget)
+                kw["text_params"] = quantize_embedding_int8(
+                    fuse_decode_projections(
+                        quantize_tree_int4(kw["text_params"])))
+                kw["kv_int8"] = True
+            if "vision_params" in kw:
+                # the 675M-param ViT is 1.35 GB bf16 — W4 makes it 0.34,
+                # the difference between the full stack fitting one chip
+                # with reasoner caches or not (docs/SERVING.md)
+                kw["vision_params"] = quantize_tree_int4(kw["vision_params"])
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode: {quantize!r}")
 
@@ -451,10 +463,16 @@ class PhysicEditPipeline:
             pos_b[:, i, :s] = pos
             pos_b[:, i, s:] = pos.max() + 1
             mask[i, :s] = True
-        hidden = m_text.text_forward(
-            self.text_params, self.text_cfg, jnp.asarray(emb_b, self.dtype),
-            jnp.asarray(pos_b), jnp.asarray(mask))
-        hidden = np.asarray(hidden.astype(jnp.float32))
+        # chunks of 4 rows: bounds the per-call activation transients
+        # (gate_up at [rows*S, 37888] bf16) next to the resident models
+        chunk = 4
+        hidden = np.concatenate([
+            np.asarray(m_text.text_forward(
+                self.text_params, self.text_cfg,
+                jnp.asarray(emb_b[c0:c0 + chunk], self.dtype),
+                jnp.asarray(pos_b[:, c0:c0 + chunk]),
+                jnp.asarray(mask[c0:c0 + chunk])).astype(jnp.float32))
+            for c0 in range(0, b, chunk)])
         return [(it[0], hidden[i, : len(it[0])])
                 for i, it in enumerate(items)]
 
@@ -559,11 +577,25 @@ class PhysicEditPipeline:
             pos_p[:, i, s_pad - s:] = pos
             attn_mask[i, s_pad - s:] = True
             start_rope[i] = int(pos.max()) + 1
-        logits, caches, _ = m_text.prefill(
-            self.text_params, self.text_cfg,
-            jnp.asarray(embeds_p, self.dtype),
-            jnp.asarray(pos_p), jnp.asarray(attn_mask),
-            max_total)
+        # Prefill in chunks of 2 rows (caches concatenate on the batch
+        # axis): the monolithic B=8 prefill's gate_up transient alone is
+        # ~0.9 GB, which does not fit next to the resident models at the
+        # serving batch (bench.memory_budget).  The decode then runs over
+        # the full batch — that is where the amortisation lives.
+        chunk = 2
+        logits_parts, cache_parts = [], []
+        for c0 in range(0, b, chunk):
+            lg, cc, _ = m_text.prefill(
+                self.text_params, self.text_cfg,
+                jnp.asarray(embeds_p[c0:c0 + chunk], self.dtype),
+                jnp.asarray(pos_p[:, c0:c0 + chunk]),
+                jnp.asarray(attn_mask[c0:c0 + chunk]),
+                max_total, kv_int8=self.kv_int8)
+            logits_parts.append(lg)
+            cache_parts.append(cc)
+        logits = jnp.concatenate(logits_parts, axis=0)
+        caches = tuple(jnp.concatenate([p[i] for p in cache_parts], axis=1)
+                       for i in range(len(cache_parts[0])))
         first = jnp.argmax(logits, -1).astype(jnp.int32)
         key_mask = jnp.asarray(np.concatenate(
             [attn_mask, np.zeros((b, max_total - s_pad), bool)], axis=1))

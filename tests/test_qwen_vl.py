@@ -262,3 +262,39 @@ def test_fused_decode_projections_exact():
                              mask)
     np.testing.assert_allclose(np.asarray(fused_q), np.asarray(base_q),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_int8_kv_cache_decode_matches_float():
+    """kv_int8 prefill + decode: int8 per-(pos, head) cache entries track
+    the float-cache decode (same tokens on a seeded tiny model; cache
+    dequantization error bounded)."""
+    import jax.numpy as jnp
+
+    cfg = jvl.QwenVLTextConfig(
+        hidden_size=64, num_layers=2, num_heads=4, num_kv_heads=2,
+        head_dim=16, intermediate_size=128, vocab_size=256, eos_token_id=-1)
+    params = jvl.init_text_params(jax.random.PRNGKey(5), cfg, jnp.float32)
+    rng = np.random.default_rng(21)
+    b, s, n_new = 2, 24, 12
+    emb = jnp.asarray(rng.normal(size=(b, s, cfg.hidden_size)) * 0.3,
+                      jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(s)[None, None], (3, b, s))
+    mask = jnp.ones((b, s), bool)
+
+    lf, cf, _ = jvl.prefill(params, cfg, emb, pos, mask, s + n_new)
+    lq, cq, _ = jvl.prefill(params, cfg, emb, pos, mask, s + n_new,
+                            kv_int8=True)
+    assert len(cq) == 4 and cq[0].dtype == jnp.int8
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lq), rtol=1e-5,
+                               atol=1e-5)  # prefill logits ignore the cache
+    # cache dequantization error small
+    deq = np.asarray(cq[0], np.float32) * np.asarray(cq[1], np.float32)[..., None]
+    np.testing.assert_allclose(deq, np.asarray(cf[0], np.float32),
+                               atol=2e-2, rtol=2e-1)
+
+    first = jnp.argmax(lf, -1).astype(jnp.int32)
+    start_rope = jnp.full((b,), s, jnp.int32)
+    tf, _ = jvl.greedy_decode(params, cfg, cf, first, s, start_rope, n_new)
+    tq, _ = jvl.greedy_decode(params, cfg, cq, first, s, start_rope, n_new)
+    assert np.array_equal(np.asarray(tf), np.asarray(tq)), (
+        f"int8-KV decode diverged: {np.asarray(tf)} vs {np.asarray(tq)}")
