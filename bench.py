@@ -9,8 +9,10 @@ weights live HBM-resident as packed int4 (W4A8, kernels/quant_matmul.py),
 the single-chip configuration replacing the reference's CPU-offload VRAM
 manager (bf16 is 40.7 GB vs 16 GB HBM; the tunnelled host link at
 ~1.4 GB/s rules out streaming).  The Qwen2.5-VL-7B conditioning model is
-measured in the same packed-int4 layout (co-resident budget: 10.25 GB DiT
-+ 4.4 GB VL + VAE/adapters < 16 GB).
+measured in the same packed-int4 layout; memory_budget() computes the
+full phase-peak residency arithmetic (DiT + VL text/vision + int8
+embedding + int8 reasoner caches) and gates which serving batch sizes
+are composed.
 
 Timing discipline (tunnelled runtime): inputs vary per call by more than
 bf16 epsilon (the runtime memoizes bit-identical launches) and every
