@@ -283,8 +283,10 @@ def bench_vl(cfg_name="w4", batch_sizes=(1, 4, 8)):
         def prefill_once(i, b=b, pos=pos, attn=attn, emb0=emb0):
             emb = emb0 * jnp.bfloat16(1.0 + 0.03 * i)
             t0 = time.perf_counter()
+            # kv_int8: the production serving cache format (the int4
+            # pipeline load enables it — halves per-item cache residency)
             logits, caches, _ = m.prefill(params, cfg, emb, pos, attn,
-                                          max_total)
+                                          max_total, kv_int8=True)
             fetch(logits)
             return time.perf_counter() - t0, logits, caches
 

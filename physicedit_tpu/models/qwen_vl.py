@@ -335,59 +335,54 @@ def lm_logits(params, hidden):
     return linear(params["lm_head"], hidden)
 
 
-def _decode_layer_inplace(p, cfg: QwenVLTextConfig, x, cos, sin, mask_bias,
-                          kbuf, vbuf, layer_idx, pos):
-    """One decode step of one layer with IN-PLACE stacked-cache updates.
+def _gqa_attention_decode(q, kc, vc, k_new, v_new, bias_cache):
+    """Single-token GQA attention over (cache, fresh-token) WITHOUT
+    writing the token into the cache first: two-part softmax.
 
-    kbuf/vbuf: [L, B, S_max, KV, D] carried through the token while_loop —
-    the single-token K/V lands via dynamic_update_slice on the carried
-    buffer, which XLA aliases in place.  (The previous structure threaded
-    the caches through the per-layer scan as xs -> ys, which re-emitted
-    the ENTIRE multi-GB cache as fresh scan outputs every token: the
-    decode was cache-copy-bound, ~+9 ms/token at B=8.)
+    q [B, 1, N, D]; kc/vc [B, S, KV, D] (the layer's cache, read straight
+    from scan xs so XLA can fuse the slice into the dot — materialising
+    the slice cost ~4.5 ms/token at B=8); k_new/v_new [B, 1, KV, D];
+    bias_cache [B, 1, 1, S] additive (-1e30 for not-yet-written or padded
+    slots).  The fresh token is always valid (causal self-attention).
     """
+    b, _, n, d = q.shape
+    kv = kc.shape[2]
+    g = n // kv
+    qg = q.reshape(b, 1, kv, g, d)
+    lc = jnp.einsum("bskgd,btkd->bkgst", qg, kc,
+                    preferred_element_type=jnp.float32) / (d ** 0.5)
+    lc = lc + bias_cache[:, None]                   # [B, KV, G, 1, S]
+    ln = jnp.einsum("bskgd,btkd->bkgst", qg, k_new,
+                    preferred_element_type=jnp.float32) / (d ** 0.5)
+    m = jnp.maximum(jnp.max(lc, axis=-1), ln[..., 0])        # [B, KV, G, 1]
+    pc = jnp.exp(lc - m[..., None])
+    pn = jnp.exp(ln - m[..., None])                          # [B, KV, G, 1, 1]
+    den = jnp.sum(pc, axis=-1) + pn[..., 0]                  # [B, KV, G, 1]
+    oc = jnp.einsum("bkgst,btkd->bskgd", pc.astype(vc.dtype), vc)
+    on = pn.transpose(0, 3, 1, 2, 4) * v_new[:, :, :, None]  # [B,1,KV,G,D]
+    out = (oc.astype(jnp.float32) + on.astype(jnp.float32)) \
+        / den.transpose(0, 3, 1, 2)[..., None]
+    return out.reshape(b, 1, n * d).astype(q.dtype)
+
+
+def _decode_layer_xs(p, cfg: QwenVLTextConfig, x, cos, sin, bias_cache,
+                     kc, vc):
+    """One decode layer reading this layer's cache from scan xs; returns
+    (x, k_new, v_new) — the caller writes the new-token slab for ALL
+    layers with one dynamic_update_slice after the layer scan."""
     b = x.shape[0]
     h = rms_norm(x, p["ln1"]["scale"], cfg.eps)
     q, k, v = _qkv_proj(p, cfg, h, b, 1)
     q = apply_rope_half(q, cos, sin)
     k = apply_rope_half(k, cos, sin)
-
-    if isinstance(kbuf, tuple):  # int8 cache: (buf int8, scale)
-        k8b, ksb = kbuf
-        v8b, vsb = vbuf
-        k8, ks = _kv_quantize(k)
-        v8, vs = _kv_quantize(v)
-        k8b = jax.lax.dynamic_update_slice(k8b, k8[None],
-                                           (layer_idx, 0, pos, 0, 0))
-        ksb = jax.lax.dynamic_update_slice(ksb, ks[None],
-                                           (layer_idx, 0, pos, 0))
-        v8b = jax.lax.dynamic_update_slice(v8b, v8[None],
-                                           (layer_idx, 0, pos, 0, 0))
-        vsb = jax.lax.dynamic_update_slice(vsb, vs[None],
-                                           (layer_idx, 0, pos, 0))
-        k_all = _kv_dequantize(
-            jax.lax.dynamic_index_in_dim(k8b, layer_idx, 0, keepdims=False),
-            jax.lax.dynamic_index_in_dim(ksb, layer_idx, 0, keepdims=False),
-            q.dtype)
-        v_all = _kv_dequantize(
-            jax.lax.dynamic_index_in_dim(v8b, layer_idx, 0, keepdims=False),
-            jax.lax.dynamic_index_in_dim(vsb, layer_idx, 0, keepdims=False),
-            q.dtype)
-        kbuf, vbuf = (k8b, ksb), (v8b, vsb)
-    else:
-        kbuf = jax.lax.dynamic_update_slice(
-            kbuf, k[None].astype(kbuf.dtype), (layer_idx, 0, pos, 0, 0))
-        vbuf = jax.lax.dynamic_update_slice(
-            vbuf, v[None].astype(vbuf.dtype), (layer_idx, 0, pos, 0, 0))
-        k_all = jax.lax.dynamic_index_in_dim(kbuf, layer_idx, 0,
-                                             keepdims=False).astype(q.dtype)
-        v_all = jax.lax.dynamic_index_in_dim(vbuf, layer_idx, 0,
-                                             keepdims=False).astype(q.dtype)
-
-    attn = _gqa_attention(q, k_all, v_all, mask_bias)
+    if isinstance(kc, tuple):  # int8 cache: dequant fuses into the dot
+        kc = _kv_dequantize(kc[0], kc[1], q.dtype)
+        vc = _kv_dequantize(vc[0], vc[1], q.dtype)
+    attn = _gqa_attention_decode(q, kc.astype(q.dtype), vc.astype(q.dtype),
+                                 k, v, bias_cache)
     x = x + linear(p["o"], attn)
     x = x + _mlp(p["mlp"], rms_norm(x, p["ln2"]["scale"], cfg.eps))
-    return x, kbuf, vbuf
+    return x, k, v
 
 
 # ---------------------------------------------------------------------------
@@ -484,6 +479,8 @@ def greedy_decode(params, cfg: QwenVLTextConfig, caches, first_token,
     s_max = lead.shape[2]
     num_layers = lead.shape[0]
 
+    int8_cache = isinstance(kbuf0, tuple)
+
     def step(carry, _):
         tok, pos, rope_pos, kbuf, vbuf, done = carry
         x = embed_tokens(params, tok)[:, None, :]  # [B, 1, D]
@@ -491,7 +488,8 @@ def greedy_decode(params, cfg: QwenVLTextConfig, caches, first_token,
         cos, sin = mrope_cos_sin(pids, cfg)
 
         k_pos = jnp.arange(s_max)[None, :]
-        ok = k_pos <= pos  # causal over cache (pos = write index)
+        ok = k_pos < pos   # strictly-written cache slots; the fresh token
+        #                    is handled by the two-part decode attention
         if key_mask is not None:
             # padded prompt slots stay invalid; generated slots (>= start
             # of decoding, i.e. >= the prompt's padded length) follow the
@@ -500,21 +498,43 @@ def greedy_decode(params, cfg: QwenVLTextConfig, caches, first_token,
         bias = jnp.where(ok, 0.0, -1e30)[:, None, None, :].astype(jnp.float32)
         bias = jnp.broadcast_to(bias, (b, 1, 1, s_max))
 
-        # Weights ride the scan as xs (consumed in place — a fori_loop
-        # with per-layer dynamic_index would COPY every layer's weights
-        # each token, ~4.6 GB of extra HBM traffic); the stacked caches
-        # ride the CARRY, so each layer's single-token K/V lands via an
-        # aliased dynamic_update_slice.
-        def layer_body(state, inp):
-            x, kbuf, vbuf = state
-            lp, i = inp
-            x, kbuf, vbuf = _decode_layer_inplace(lp, cfg, x, cos, sin,
-                                                  bias, kbuf, vbuf, i, pos)
-            return (x, kbuf, vbuf), None
+        # Weights AND caches ride the layer scan as xs (consumed per layer
+        # without the copies an explicit dynamic_index materialises —
+        # profiled at ~4.5 ms/token at B=8); each layer emits only its
+        # new-token K/V as ys, and ONE dynamic_update_slice per token
+        # writes the [L, B, 1, KV, D] slab into the while-carried buffers.
+        if int8_cache:
+            k8, ks = kbuf
+            v8, vs = vbuf
 
-        (x, kbuf, vbuf), _ = jax.lax.scan(
-            layer_body, (x, kbuf, vbuf),
-            (params["layers"], jnp.arange(num_layers)))
+            def layer_body(x, inp):  # noqa: F811 — int8 variant
+                lp, kc8, kcs, vc8, vcs = inp
+                x, k_new, v_new = _decode_layer_xs(
+                    lp, cfg, x, cos, sin, bias, (kc8, kcs), (vc8, vcs))
+                return x, (k_new, v_new)
+
+            x, (k_stack, v_stack) = jax.lax.scan(
+                layer_body, x, (params["layers"], k8, ks, v8, vs))
+            kq, kqs = _kv_quantize(k_stack)
+            vq, vqs = _kv_quantize(v_stack)
+            kbuf = (jax.lax.dynamic_update_slice(k8, kq, (0, 0, pos, 0, 0)),
+                    jax.lax.dynamic_update_slice(ks, kqs, (0, 0, pos, 0)))
+            vbuf = (jax.lax.dynamic_update_slice(v8, vq, (0, 0, pos, 0, 0)),
+                    jax.lax.dynamic_update_slice(vs, vqs, (0, 0, pos, 0)))
+        else:
+            def layer_body(x, inp):  # noqa: F811 — bf16 variant
+                lp, kc, vc = inp
+                x, k_new, v_new = _decode_layer_xs(lp, cfg, x, cos, sin,
+                                                   bias, kc, vc)
+                return x, (k_new, v_new)
+
+            x, (k_stack, v_stack) = jax.lax.scan(
+                layer_body, x, (params["layers"], kbuf, vbuf))
+            kbuf = jax.lax.dynamic_update_slice(
+                kbuf, k_stack.astype(kbuf.dtype), (0, 0, pos, 0, 0))
+            vbuf = jax.lax.dynamic_update_slice(
+                vbuf, v_stack.astype(vbuf.dtype), (0, 0, pos, 0, 0))
+
         hidden = rms_norm(x, params["norm"]["scale"], cfg.eps)
         logits = lm_logits(params, hidden[:, -1])
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
