@@ -335,7 +335,8 @@ def lm_logits(params, hidden):
     return linear(params["lm_head"], hidden)
 
 
-def _gqa_attention_decode(q, kc, vc, k_new, v_new, bias_cache):
+def _gqa_attention_decode(q, kc, vc, k_new, v_new, bias_cache,
+                          k_scale=None, v_scale=None):
     """Single-token GQA attention over (cache, fresh-token) WITHOUT
     writing the token into the cache first: two-part softmax.
 
@@ -344,6 +345,10 @@ def _gqa_attention_decode(q, kc, vc, k_new, v_new, bias_cache):
     the slice cost ~4.5 ms/token at B=8); k_new/v_new [B, 1, KV, D];
     bias_cache [B, 1, 1, S] additive (-1e30 for not-yet-written or padded
     slots).  The fresh token is always valid (causal self-attention).
+
+    k_scale/v_scale [B, S, KV]: per-(position, head) int8-cache scales —
+    applied to the logits (k) and folded into the probabilities before
+    the PV dot (v), so no dequantized cache copy is ever materialised.
     """
     b, _, n, d = q.shape
     kv = kc.shape[2]
@@ -351,6 +356,9 @@ def _gqa_attention_decode(q, kc, vc, k_new, v_new, bias_cache):
     qg = q.reshape(b, 1, kv, g, d)
     lc = jnp.einsum("bskgd,btkd->bkgst", qg, kc,
                     preferred_element_type=jnp.float32) / (d ** 0.5)
+    if k_scale is not None:
+        # [B, S, KV] -> [B, KV, 1, 1, S]
+        lc = lc * k_scale.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, None]
     lc = lc + bias_cache[:, None]                   # [B, KV, G, 1, S]
     ln = jnp.einsum("bskgd,btkd->bkgst", qg, k_new,
                     preferred_element_type=jnp.float32) / (d ** 0.5)
@@ -358,7 +366,9 @@ def _gqa_attention_decode(q, kc, vc, k_new, v_new, bias_cache):
     pc = jnp.exp(lc - m[..., None])
     pn = jnp.exp(ln - m[..., None])                          # [B, KV, G, 1, 1]
     den = jnp.sum(pc, axis=-1) + pn[..., 0]                  # [B, KV, G, 1]
-    oc = jnp.einsum("bkgst,btkd->bskgd", pc.astype(vc.dtype), vc)
+    if v_scale is not None:
+        pc = pc * v_scale.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, None]
+    oc = jnp.einsum("bkgst,btkd->bskgd", pc.astype(jnp.bfloat16), vc)
     on = pn.transpose(0, 3, 1, 2, 4) * v_new[:, :, :, None]  # [B,1,KV,G,D]
     out = (oc.astype(jnp.float32) + on.astype(jnp.float32)) \
         / den.transpose(0, 3, 1, 2)[..., None]
@@ -369,17 +379,27 @@ def _decode_layer_xs(p, cfg: QwenVLTextConfig, x, cos, sin, bias_cache,
                      kc, vc):
     """One decode layer reading this layer's cache from scan xs; returns
     (x, k_new, v_new) — the caller writes the new-token slab for ALL
-    layers with one dynamic_update_slice after the layer scan."""
+    layers with one dynamic_update_slice after the layer scan.
+
+    int8 caches are handled WITHOUT materialising a dequantized copy:
+    the int8->bf16 convert fuses into the attention dots and the
+    per-(position, head) scales apply to the [.., S]-sized logits
+    (k side) / fold into the probabilities before the PV dot (v side) —
+    exact, since the scale is constant along the head dim.
+    """
     b = x.shape[0]
     h = rms_norm(x, p["ln1"]["scale"], cfg.eps)
     q, k, v = _qkv_proj(p, cfg, h, b, 1)
     q = apply_rope_half(q, cos, sin)
     k = apply_rope_half(k, cos, sin)
-    if isinstance(kc, tuple):  # int8 cache: dequant fuses into the dot
-        kc = _kv_dequantize(kc[0], kc[1], q.dtype)
-        vc = _kv_dequantize(vc[0], vc[1], q.dtype)
-    attn = _gqa_attention_decode(q, kc.astype(q.dtype), vc.astype(q.dtype),
-                                 k, v, bias_cache)
+    if isinstance(kc, tuple):
+        attn = _gqa_attention_decode(q, kc[0].astype(q.dtype),
+                                     vc[0].astype(q.dtype), k, v,
+                                     bias_cache, k_scale=kc[1],
+                                     v_scale=vc[1])
+    else:
+        attn = _gqa_attention_decode(q, kc.astype(q.dtype),
+                                     vc.astype(q.dtype), k, v, bias_cache)
     x = x + linear(p["o"], attn)
     x = x + _mlp(p["mlp"], rms_norm(x, p["ln2"]["scale"], cfg.eps))
     return x, k, v
