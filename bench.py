@@ -142,21 +142,32 @@ def bench_vision(dtype=jnp.bfloat16):
         }
 
     params = random_tree_like(3, jax.eval_shape(init))
-    grid = [(1, 28, 28)]                     # 392x392 -> 784 patches
     in_dim = 3 * cfg.temporal_patch_size * cfg.patch_size ** 2
     rng = np.random.default_rng(0)
 
-    def run(i):
-        patches = jnp.asarray(
-            rng.normal(size=(784, in_dim)) * (0.1 + 0.01 * i), dtype)
-        t0 = time.perf_counter()
-        fetch(m.run_vision(params, cfg, patches, grid))
-        return time.perf_counter() - t0
+    def measure(n_imgs):
+        grid = [(1, 28, 28)] * n_imgs        # 392x392 -> 784 patches each
+        base = jnp.asarray(
+            rng.normal(size=(784 * n_imgs, in_dim)) * 0.1, dtype)
+        fetch(base)
 
-    run(0)
-    best = min(run(i) for i in (1, 2, 3))
-    log(f"vision tower 392^2: {best*1e3:.0f} ms")
-    return best
+        def run(i):
+            patches = base * jnp.asarray(1.0 + 0.03 * i, dtype)
+            t0 = time.perf_counter()
+            fetch(m.run_vision(params, cfg, patches, grid))
+            return time.perf_counter() - t0
+
+        run(0)
+        return min(run(i) for i in (1, 2, 3))
+
+    best1 = measure(1)
+    # NB a single multi-image call measured QUADRATIC (the segment-bias
+    # attention is dense over the concatenated token axis: 8 images =
+    # ~1.76 s/item vs 105 ms singly) — the pipeline therefore runs one
+    # image per call (_vision_features), and serving composes n * best1.
+    log(f"vision tower 392^2: {best1*1e3:.0f} ms (per image; serving runs "
+        f"one call per item)")
+    return best1
 
 
 def bench_dinov2():
@@ -352,9 +363,13 @@ def memory_budget(nb: int = 8):
     s_max = 1536 + REASONER_MAX_TOKENS
     cache_item = (2 * 28 * s_max * cfg.num_kv_heads
                   * (cfg.head_dim * 1 + 2)) / 1e9   # int8 + bf16 scale
-    base = dit + text + vision + vae + 0.1
-    cond_peak = base + nb * cache_item + 0.3       # + prefill activations
-    denoise_peak = base + 1.0                      # + denoise workspace
+    base = dit + text + vision + vae + 0.1     # +0.1: adapters (bf16)
+    # transient live-set estimates (analytic): chunk-1 prefill holds one
+    # row's gate_up output [1536, 37888] bf16 (~0.11 GB) + unpacked int8
+    # weights (~0.07) + embeds/glue; the denoise holds one block's fc1
+    # output [2*8448, 12288] bf16 (~0.41 GB) + attention out + streams
+    cond_peak = base + nb * cache_item + 0.2
+    denoise_peak = base + 0.8
     log(f"memory budget (GB): dit={dit:.2f} text={text:.2f} "
         f"vision~{vision:.2f} vae={vae:.2f} base={base:.2f}; "
         f"int8-KV cache/item={cache_item*1e3:.0f} MB; "
@@ -459,26 +474,36 @@ def main():
     pre2 = vl[2][0]
     pre4 = vl.get(4, (2 * pre2, None))[0]
     mem = detail["memory"]
+    pre1 = vl[1][0]
+    serving_typ = {}
     for nb in (b for b in vl if b >= 8):
         tok_b = vl[nb][1]
-        item_s = ((math.ceil(nb / 2) * pre2
-                   + REASONER_MAX_TOKENS * tok_b
-                   + math.ceil(2 * nb / 4) * pre4) / nb
-                  + vis_s + enc8_s / 8 + denoise_s + dec8_s / 8)
+        cond = (nb * pre1                               # chunk-1 prefills
+                + math.ceil(2 * nb / 4) * pre4)         # prompt encodes
+        fixed = vis_s + enc8_s / 8 + denoise_s + dec8_s / 8
+        item_s = (cond + REASONER_MAX_TOKENS * tok_b) / nb + fixed
+        item_typ = (cond + REASONER_TYPICAL_TOKENS * tok_b) / nb + fixed
         # single-chip feasibility: resident models + int8-KV caches +
-        # chunked-prefill activations inside the 15.75 GB HBM
-        fits = (mem["base_gb"] + nb * mem["cache_item_gb"] + 0.3) <= 15.75
+        # chunk-1 prefill activations inside the 15.75 GB HBM
+        fits = (mem["base_gb"] + nb * mem["cache_item_gb"] + 0.2) <= 15.75
         if fits:
             serving[nb] = item_s
+            serving_typ[nb] = item_typ
         log(f"  [sweep serving, {nb} items/batch (config #5): "
-            f"{item_s:.2f}s/item -> {60/item_s:.3f} edits/min/chip"
+            f"{item_s:.2f}s/item -> {60/item_s:.3f} edits/min/chip "
+            f"(typical 300-tok reasoner: {60/item_typ:.3f})"
             f"{'' if fits else ' — EXCEEDS single-chip HBM, not composed'}]")
     detail["serving_item_s"] = {str(k): v for k, v in serving.items()}
 
-    best_nb, best_item_s = min(serving.items(), key=lambda kv: kv[1])
-    serving_epm = 60.0 / best_item_s
-    detail.update(serving_best_batch=best_nb,
-                  serving_edits_per_min=serving_epm)
+    if serving:
+        best_nb, best_item_s = min(serving.items(), key=lambda kv: kv[1])
+        serving_epm = 60.0 / best_item_s
+        detail.update(serving_best_batch=best_nb,
+                      serving_edits_per_min=serving_epm,
+                      serving_edits_per_min_typical=60.0 / serving_typ[best_nb])
+    else:   # no batch fits — fall back to the single-edit headline
+        best_nb, serving_epm = 1, edits_per_min
+        detail.update(serving_best_batch=1, serving_edits_per_min=serving_epm)
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:

@@ -394,20 +394,28 @@ class PhysicEditPipeline:
         return image.resize((w, h))
 
     def _vision_features(self, images: list):
-        """Run the vision tower once over a list of PIL images (pre-resized
-        to the VL input size); returns (feats_per_image, grids).
+        """Run the vision tower over PIL images (pre-resized to the VL
+        input size), ONE image per device call; returns
+        (feats_per_image, grids).
 
         Sweep serving reuses these across the reasoner + positive +
         negative prompt encodes of the same edit image (the round-2 path
-        re-ran the 32-layer ViT three times per item)."""
-        patches, grids = vl_host.images_to_patches(images)
-        feats = np.asarray(
-            m_vis.run_vision(self.vision_params, self.vision_cfg,
-                             jnp.asarray(patches, self.dtype), grids)
-            .astype(jnp.float32))
-        counts = [t * (h // 2) * (w // 2) for t, h, w in grids]
-        split = np.split(feats, np.cumsum(counts)[:-1]) if counts else []
-        return list(split), grids
+        re-ran the 32-layer ViT three times per item).  Images run
+        individually on purpose: the tower's segment-bias attention is
+        dense over the concatenated token axis, so one multi-image call
+        is quadratic in the number of images (measured 17x slower per
+        image at 8) while per-image calls reuse one compiled program.
+        """
+        feats, grids = [], []
+        for im in images:
+            patches, g = vl_host.images_to_patches([im])
+            f = np.asarray(
+                m_vis.run_vision(self.vision_params, self.vision_cfg,
+                                 jnp.asarray(patches, self.dtype), g)
+                .astype(jnp.float32))
+            feats.append(f)
+            grids.append(g[0])
+        return feats, grids
 
     def _vl_host_inputs(self, text: str, images: list, feats=None,
                         grids=None):
@@ -577,12 +585,14 @@ class PhysicEditPipeline:
             pos_p[:, i, s_pad - s:] = pos
             attn_mask[i, s_pad - s:] = True
             start_rope[i] = int(pos.max()) + 1
-        # Prefill in chunks of 2 rows (caches concatenate on the batch
-        # axis): the monolithic B=8 prefill's gate_up transient alone is
-        # ~0.9 GB, which does not fit next to the resident models at the
-        # serving batch (bench.memory_budget).  The decode then runs over
-        # the full batch — that is where the amortisation lives.
-        chunk = 2
+        # Prefill one row at a time (caches concatenate on the batch
+        # axis): prefill cost is GEMM-bound and linear in rows, so
+        # chunking is FREE throughput-wise, and the monolithic B=8
+        # prefill's gate_up transient alone (~0.9 GB) does not fit next
+        # to the resident models at the serving batch
+        # (bench.memory_budget).  The decode then runs over the full
+        # batch — that is where the amortisation lives.
+        chunk = 1
         logits_parts, cache_parts = [], []
         for c0 in range(0, b, chunk):
             lg, cc, _ = m_text.prefill(
