@@ -63,6 +63,9 @@ def _pick_blocks(sq: int, sk: int) -> tuple[int, int]:
 
 def _fixedmax_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, l_scr, acc_scr,
                      *, scale_log2e, bk_total, clamp=True):
+    """scale_log2e=None means q arrives pre-scaled by log2(e)/sqrt(d)
+    (wrapper-side, fused into the surrounding XLA elementwise chain) —
+    one fewer full-score-matrix VPU multiply in the hot loop."""
     ki = pl.program_id(3)
 
     @pl.when(ki == 0)
@@ -75,7 +78,9 @@ def _fixedmax_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, l_scr, acc_scr,
     v = v_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    sig = s * scale_log2e + bias_ref[0, 0][None, :]
+    if scale_log2e is not None:
+        s = s * scale_log2e
+    sig = s + bias_ref[0, 0][None, :]
     if clamp:
         sig = jnp.minimum(sig, CLAMP)
     p = jnp.exp2(sig)
@@ -117,15 +122,18 @@ def _fixedmax_kernel_bias2d(q_ref, k_ref, v_ref, bias_ref, kbias_ref, out_ref,
         out_ref[0, 0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "clamp"))
-def _fixedmax_bnsd(q, k, v, key_bias, block_q, block_k, clamp=True):
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "clamp",
+                                             "prescaled"))
+def _fixedmax_bnsd(q, k, v, key_bias, block_q, block_k, clamp=True,
+                   prescaled=False):
     """q/k/v: [B, N, S, D] (S padded to block multiples);
     key_bias: [B, 1, S_k] fp32, 0 for valid keys / -1e30 for masked."""
     b, n, sq, d = q.shape
     sk = k.shape[2]
     nq, nk = sq // block_q, sk // block_k
     kernel = functools.partial(_fixedmax_kernel,
-                               scale_log2e=LOG2E / (d ** 0.5), bk_total=nk,
+                               scale_log2e=None if prescaled
+                               else LOG2E / (d ** 0.5), bk_total=nk,
                                clamp=clamp)
     return pl.pallas_call(
         kernel,
@@ -165,7 +173,9 @@ def _fixedmax_kernel_lse(q_ref, k_ref, v_ref, bias_ref, out_ref, l_ref,
     v = v_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    sig = s * scale_log2e + bias_ref[0, 0][None, :]
+    if scale_log2e is not None:
+        s = s * scale_log2e
+    sig = s + bias_ref[0, 0][None, :]
     if clamp:
         sig = jnp.minimum(sig, CLAMP)
     p = jnp.exp2(sig)
@@ -180,13 +190,16 @@ def _fixedmax_kernel_lse(q_ref, k_ref, v_ref, bias_ref, out_ref, l_ref,
         l_ref[0, 0] = l_scr[:, :8]
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "clamp"))
-def _fixedmax_bnsd_lse(q, k, v, key_bias, block_q, block_k, clamp=True):
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "clamp",
+                                             "prescaled"))
+def _fixedmax_bnsd_lse(q, k, v, key_bias, block_q, block_k, clamp=True,
+                       prescaled=False):
     b, n, sq, d = q.shape
     sk = k.shape[2]
     nq, nk = sq // block_q, sk // block_k
     kernel = functools.partial(_fixedmax_kernel_lse,
-                               scale_log2e=LOG2E / (d ** 0.5), bk_total=nk,
+                               scale_log2e=None if prescaled
+                               else LOG2E / (d ** 0.5), bk_total=nk,
                                clamp=clamp)
     return pl.pallas_call(
         kernel,
@@ -232,7 +245,9 @@ def _fm_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dd_ref, l_ref,
     g = g_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    sig = s * scale_log2e + bias_ref[0, 0][None, :]
+    if scale_log2e is not None:
+        s = s * scale_log2e
+    sig = s + bias_ref[0, 0][None, :]
     p = jnp.exp2(jnp.minimum(sig, CLAMP) if clamp else sig)
     p_n = p * (1.0 / jnp.maximum(l_ref[0, 0, :, 0], 1e-30))[:, None]     # softmax weights P
     dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
@@ -266,7 +281,9 @@ def _fm_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dd_ref, l_ref,
     g = g_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    sig = s * scale_log2e + bias_ref[0, 0][None, :]
+    if scale_log2e is not None:
+        s = s * scale_log2e
+    sig = s + bias_ref[0, 0][None, :]
     p = jnp.exp2(jnp.minimum(sig, CLAMP) if clamp else sig)
     p_n = p * (1.0 / jnp.maximum(l_ref[0, 0, :, 0], 1e-30))[:, None]
     dv_scr[:] += jax.lax.dot_general(p_n.astype(g.dtype), g,
@@ -288,13 +305,19 @@ def _fm_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dd_ref, l_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_q", "block_k", "clamp"))
-def _fm_bwd(q, k, v, key_bias, g, dd, l, block_q, block_k, clamp=True):
+                   static_argnames=("block_q", "block_k", "clamp",
+                                    "prescaled"))
+def _fm_bwd(q, k, v, key_bias, g, dd, l, block_q, block_k, clamp=True,
+            prescaled=False):
+    """prescaled: q is already q_orig * log2(e)/sqrt(d).  Then
+    d sig/d q_s = k * ln2 and d sig/d k = q_s * ln2, so both dq (wrt the
+    scaled q; the wrapper's multiply applies the outer chain rule) and dk
+    carry a plain ln(2) factor instead of 1/sqrt(d)."""
     b, n, sq, d = q.shape
     sk = k.shape[2]
     nq, nk = sq // block_q, sk // block_k
-    scale_log2e = LOG2E / (d ** 0.5)
-    scale_nat = 1.0 / (d ** 0.5)
+    scale_log2e = None if prescaled else LOG2E / (d ** 0.5)
+    scale_nat = (1.0 / LOG2E) if prescaled else 1.0 / (d ** 0.5)
 
     dq = pl.pallas_call(
         functools.partial(_fm_bwd_dq_kernel, scale_log2e=scale_log2e,
@@ -348,27 +371,31 @@ def _fm_bwd(q, k, v, key_bias, g, dd, l, block_q, block_k, clamp=True):
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _fixedmax_diff(q, k, v, key_bias, block_q, block_k, clamp=True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fixedmax_diff(q, k, v, key_bias, block_q, block_k, clamp=True,
+                   prescaled=False):
     """Differentiable fixed-max attention (padded shapes; key_bias is a
-    non-trainable mask term — its cotangent is zero)."""
+    non-trainable mask term — its cotangent is zero).  With
+    prescaled=True, q is q_orig * log2(e)/sqrt(d); the returned dq is wrt
+    the SCALED q (the wrapper multiply applies the outer chain rule)."""
     out, _ = _fixedmax_bnsd_lse(q, k, v, key_bias, block_q, block_k,
-                                clamp=clamp)
+                                clamp=clamp, prescaled=prescaled)
     return out
 
 
-def _fixedmax_diff_fwd(q, k, v, key_bias, block_q, block_k, clamp=True):
+def _fixedmax_diff_fwd(q, k, v, key_bias, block_q, block_k, clamp=True,
+                       prescaled=False):
     out, l = _fixedmax_bnsd_lse(q, k, v, key_bias, block_q, block_k,
-                                clamp=clamp)
+                                clamp=clamp, prescaled=prescaled)
     return out, (q, k, v, key_bias, out, l)
 
 
-def _fixedmax_diff_bwd(block_q, block_k, clamp, res, g):
+def _fixedmax_diff_bwd(block_q, block_k, clamp, prescaled, res, g):
     q, k, v, key_bias, out, l = res
     dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     dd = jnp.broadcast_to(dd[..., None], dd.shape + (8,))
     dq, dk, dv = _fm_bwd(q, k, v, key_bias, g, dd, l, block_q, block_k,
-                         clamp=clamp)
+                         clamp=clamp, prescaled=prescaled)
     return dq, dk, dv, jnp.zeros_like(key_bias)
 
 
@@ -704,9 +731,14 @@ def flash_attention_bnsd(q, k, v, key_mask=None, bias=None,
             out = _fixedmax_bnsd_bias(qt, kt, vt, key_bias, bias2d,
                                       block_q=block_q, block_k=block_k)
         else:
-            # differentiable path (custom VJP with Pallas backward kernels)
+            # differentiable path (custom VJP with Pallas backward kernels).
+            # q is pre-scaled OUTSIDE the kernel (the multiply fuses into
+            # the surrounding XLA elementwise chain; one fewer VPU pass
+            # over the score matrix in the hot loop).
+            d_ = qt.shape[-1]
+            qt = qt * jnp.asarray(LOG2E / (d_ ** 0.5), qt.dtype)
             out = _fixedmax_diff(qt, kt, vt, key_bias, block_q, block_k,
-                                 clamp)
+                                 clamp, True)
     elif bias is not None:
         bias_p = jnp.pad(bias.astype(jnp.float32),
                          ((0, 0), (0, pad_q), (0, pad_k)))
