@@ -395,26 +395,43 @@ class PhysicEditPipeline:
 
     def _vision_features(self, images: list):
         """Run the vision tower over PIL images (pre-resized to the VL
-        input size), ONE image per device call; returns
-        (feats_per_image, grids).
+        input size); returns (feats_per_image, grids).
 
         Sweep serving reuses these across the reasoner + positive +
         negative prompt encodes of the same edit image (the round-2 path
-        re-ran the 32-layer ViT three times per item).  Images run
-        individually on purpose: the tower's segment-bias attention is
-        dense over the concatenated token axis, so one multi-image call
-        is quadratic in the number of images (measured 17x slower per
-        image at 8) while per-image calls reuse one compiled program.
+        re-ran the 32-layer ViT three times per item).  Same-grid images
+        run BATCHED on a leading vmap axis (run_vision_batched) in chunks
+        of 8 — the single-image tower is launch/small-GEMM bound (~99 ms
+        for ~5 ms of MXU work), and a batch axis amortises that glue
+        without the quadratic cost a concatenated-token-axis multi-image
+        call pays (measured 17x slower per image at 8).  The chunk bounds
+        the [B, H, N, N] attention transient next to the resident models.
+        Mixed grids fall back to one image per call.
         """
-        feats, grids = [], []
-        for im in images:
-            patches, g = vl_host.images_to_patches([im])
-            f = np.asarray(
-                m_vis.run_vision(self.vision_params, self.vision_cfg,
-                                 jnp.asarray(patches, self.dtype), g)
-                .astype(jnp.float32))
-            feats.append(f)
-            grids.append(g[0])
+        per_img = [vl_host.images_to_patches([im]) for im in images]
+        grids = [g[0] for _, g in per_img]
+        feats: list = [None] * len(images)
+        chunk = 8
+        by_grid: dict = {}
+        for i, g in enumerate(grids):
+            by_grid.setdefault(tuple(g), []).append(i)
+        for g_one, idxs in by_grid.items():
+            for c0 in range(0, len(idxs), chunk):
+                sel = idxs[c0:c0 + chunk]
+                if len(sel) == 1:
+                    i = sel[0]
+                    f = m_vis.run_vision(
+                        self.vision_params, self.vision_cfg,
+                        jnp.asarray(per_img[i][0], self.dtype), [g_one])
+                    feats[i] = np.asarray(f.astype(jnp.float32))
+                    continue
+                stacked = jnp.asarray(
+                    np.stack([per_img[i][0] for i in sel]), self.dtype)
+                fb = np.asarray(m_vis.run_vision_batched(
+                    self.vision_params, self.vision_cfg, stacked, g_one)
+                    .astype(jnp.float32))
+                for j, i in enumerate(sel):
+                    feats[i] = fb[j]
         return feats, grids
 
     def _vl_host_inputs(self, text: str, images: list, feats=None,

@@ -124,6 +124,24 @@ def test_vision_parity_multi_image():
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
 
 
+def test_vision_batched_matches_per_image():
+    """run_vision_batched (leading vmap axis, shared geometry) must equal
+    B independent run_vision calls — the sweep-serving vision path."""
+    model, _, vcfg = _tiny_hf(4)
+    params = C.qwen_vl_vision_from_torch(model.state_dict(), dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    grid_one = (1, 6, 8)
+    n = grid_one[0] * grid_one[1] * grid_one[2]
+    batch = np.stack([rng.normal(size=(n, 3 * 2 * 14 * 14))
+                      for _ in range(3)]).astype(np.float32)
+    fb = np.asarray(jvis.run_vision_batched(params, vcfg,
+                                            jnp.asarray(batch), grid_one))
+    for i in range(3):
+        one = np.asarray(jvis.run_vision(params, vcfg,
+                                         jnp.asarray(batch[i]), [grid_one]))
+        np.testing.assert_allclose(fb[i], one, rtol=1e-5, atol=1e-5)
+
+
 def test_greedy_decode_matches_hf_generate():
     import torch
 
