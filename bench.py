@@ -161,13 +161,32 @@ def bench_vision(dtype=jnp.bfloat16):
         return min(run(i) for i in (1, 2, 3))
 
     best1 = measure(1)
-    # NB a single multi-image call measured QUADRATIC (the segment-bias
-    # attention is dense over the concatenated token axis: 8 images =
-    # ~1.76 s/item vs 105 ms singly) — the pipeline therefore runs one
-    # image per call (_vision_features), and serving composes n * best1.
-    log(f"vision tower 392^2: {best1*1e3:.0f} ms (per image; serving runs "
-        f"one call per item)")
-    return best1
+
+    # Sweep serving runs same-grid images BATCHED on a leading vmap axis
+    # (run_vision_batched, chunk 8) — the single-image tower is
+    # launch/small-GEMM bound (~99 ms for ~5 ms of MXU work), and the
+    # batch axis amortises that glue.  (A single multi-image call on the
+    # concatenated token axis measured QUADRATIC — 17x/item at 8 — which
+    # is why the batch rides vmap, not concat.)
+    def measure_batched(nb):
+        grid_one = (1, 28, 28)
+        base = jnp.asarray(
+            rng.normal(size=(nb, 784, in_dim)) * 0.1, dtype)
+        fetch(base)
+
+        def run(i):
+            patches = base * jnp.asarray(1.0 + 0.03 * i, dtype)
+            t0 = time.perf_counter()
+            fetch(m.run_vision_batched(params, cfg, patches, grid_one))
+            return time.perf_counter() - t0
+
+        run(0)
+        return min(run(i) for i in (1, 2, 3)) / nb
+
+    best8 = measure_batched(8)
+    log(f"vision tower 392^2: {best1*1e3:.0f} ms single / "
+        f"{best8*1e3:.1f} ms/item vmap-batched at 8 (serving mode)")
+    return best1, best8
 
 
 def bench_dinov2():
@@ -423,11 +442,12 @@ def main():
 
     # ---- 4. VAE + vision tower + DINOv2 ---------------------------------
     enc_s, dec_s, dec8_s, enc8_s = bench_vae(dtype)
-    vis_s = bench_vision(dtype)
+    vis_s, vis8_s = bench_vision(dtype)
     dino_s = bench_dinov2()
     detail.update(vae_encode_s=enc_s, vae_decode_s=dec_s,
                   vae_decode_b8_s=dec8_s, vae_encode_b8_s=enc8_s,
-                  vision_s=vis_s, dinov2_s=dino_s)
+                  vision_s=vis_s, vision_batched_item_s=vis8_s,
+                  dinov2_s=dino_s)
 
     # ---- Compose: single-edit latency (validate.py path) ----------------
     # reference edit = vision tower (features shared by reasoner + both
@@ -464,10 +484,11 @@ def main():
     # prefills in chunks of 2 and decodes the full batch in one pass
     # (reason_physical_batch; the decode is weight-read-bound so nb rows
     # cost near one), the 2*nb prompt rows encode in chunks of 4
-    # (encode_prompt_edit_batch), the vision tower + VAE encode stay per
-    # item, the denoise stays per item (the chip is saturated at the
-    # 8448-token workload), and the VAE decode is batched
-    # (decode_images).  Chunk sizes are the memory_budget() fit.
+    # (encode_prompt_edit_batch), the vision tower rides a vmap batch
+    # axis (run_vision_batched, chunk 8), the denoise stays per item
+    # (the chip is saturated at the 8448-token workload), and the VAE
+    # encode/decode are batched (decode_images).  Chunk sizes are the
+    # memory_budget() fit.
     import math
 
     serving = {}
@@ -480,7 +501,7 @@ def main():
         tok_b = vl[nb][1]
         cond = (nb * pre1                               # chunk-1 prefills
                 + math.ceil(2 * nb / 4) * pre4)         # prompt encodes
-        fixed = vis_s + enc8_s / 8 + denoise_s + dec8_s / 8
+        fixed = vis8_s + enc8_s / 8 + denoise_s + dec8_s / 8
         item_s = (cond + REASONER_MAX_TOKENS * tok_b) / nb + fixed
         item_typ = (cond + REASONER_TYPICAL_TOKENS * tok_b) / nb + fixed
         # single-chip feasibility: resident models + int8-KV caches +
