@@ -734,7 +734,13 @@ def flash_attention_bnsd(q, k, v, key_mask=None, bias=None,
             # differentiable path (custom VJP with Pallas backward kernels).
             # q is pre-scaled OUTSIDE the kernel (the multiply fuses into
             # the surrounding XLA elementwise chain; one fewer VPU pass
-            # over the score matrix in the hot loop).
+            # over the score matrix in the hot loop).  A zero-key variant
+            # (masked K/V zeroed, denominator corrected by n_masked, NO
+            # in-kernel bias add) measured SLOWER head-to-head
+            # (tools/proto_zk_vs_bias.py: 15.5-15.8 vs 14.8-15.2 ms at the
+            # 8448 workload): the bias add hides under the MXU/VPU
+            # pipeline while the wrapper-side K/V zeroing pass costs
+            # ~0.7 ms.  The bias kernel is the structural optimum here.
             d_ = qt.shape[-1]
             qt = qt * jnp.asarray(LOG2E / (d_ ** 0.5), qt.dtype)
             out = _fixedmax_diff(qt, kt, vt, key_bias, block_q, block_k,

@@ -17,6 +17,7 @@ Each variant scans NDEC tokens on-device with a data-dependent carry
 """
 
 import dataclasses
+import functools
 import os
 import sys
 import time
@@ -100,21 +101,22 @@ def make_step(params, caches, variant: str):
 
 
 def run_variant(params, caches, first, variant):
-    step = make_step(params, caches, variant)
-
-    @jax.jit
-    def loop(tok0):
+    # params/caches ride as jit ARGUMENTS — closure capture would embed
+    # 5+ GB as HLO constants and stall compilation
+    @functools.partial(jax.jit, static_argnames=("variant",))
+    def loop(params, caches, tok0, variant):
+        step = make_step(params, caches, variant)
         carry, _ = jax.lax.scan(
             step, (tok0, jnp.int32(S), jnp.full((B,), S, jnp.int32)),
             None, length=NDEC)
         return carry[0]
 
-    out = loop(first)
+    out = loop(params, caches, first, variant)
     _ = int(jnp.asarray(out).sum())
     best = float("inf")
     for i in range(4):
         t0 = time.perf_counter()
-        out = loop((first + i + 1) % 1000)
+        out = loop(params, caches, (first + i + 1) % 1000, variant)
         _ = int(jnp.asarray(out).sum())
         best = min(best, time.perf_counter() - t0)
     return best / NDEC
@@ -139,18 +141,18 @@ def main():
         [attn, jnp.zeros((B, S_MAX - S), bool)], 1)
 
     @jax.jit
-    def whole(tok0):
+    def whole(params, caches, key_mask, tok0):
         toks, _ = m.greedy_decode(params, cfg, caches, tok0, S,
                                   jnp.full((B,), S, jnp.int32), NDEC,
                                   key_mask=key_mask)
         return toks
 
-    _ = int(jnp.asarray(whole(first)).sum())
+    _ = int(jnp.asarray(whole(params, caches, key_mask, first)).sum())
     res = {}
     best = float("inf")
     for i in range(4):
         t0 = time.perf_counter()
-        out = whole((first + i + 1) % 1000)
+        out = whole(params, caches, key_mask, (first + i + 1) % 1000)
         _ = int(jnp.asarray(out).sum())
         best = min(best, time.perf_counter() - t0)
     res["whole"] = best / NDEC
