@@ -178,8 +178,45 @@ def fuse_decode_projections(params: dict) -> dict:
         return lp
 
     params = dict(params)
-    params["layers"] = fix_layer(params["layers"])
+    if isinstance(params["layers"], (list, tuple)):   # split_layers layout
+        params["layers"] = tuple(fix_layer(lp) for lp in params["layers"])
+    else:
+        params["layers"] = fix_layer(params["layers"])
     return params
+
+
+def split_layers(params: dict) -> dict:
+    """Convert the stacked ``params["layers"]`` tree ([L, ...] leaves, the
+    lax.scan layout) into a TUPLE of per-layer trees.
+
+    Why: the per-layer weight slice a layer scan consumes must MATERIALISE
+    before the Pallas W4 GEMV kernels can read it (Pallas operands are
+    whole buffers — the xs slice cannot fuse), costing an extra write+read
+    of the full 3.26 GB weight stream per decode token (~2.2 ms/token
+    measured at B=8, tools/proto_decode_unroll.py: 12.83 -> 10.65).  With
+    per-layer trees, text_forward/prefill/greedy_decode unroll the layer
+    loop in Python and the kernels read each layer's buffer in place.
+
+    Same total bytes (the stacked buffers are freed once the caller drops
+    its reference); compile time grows with the unrolled body and is
+    amortised by the persistent compilation cache.
+    """
+    stacked = params.get("layers")
+    if isinstance(stacked, (list, tuple)):
+        return params
+    lead = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    out = dict(params)
+    out["layers"] = tuple(
+        jax.tree_util.tree_map(lambda a, i=i: a[i], stacked)
+        for i in range(lead))
+    return out
+
+
+def _layer_seq(params):
+    """Iterate layers for both layouts: a tuple of per-layer trees
+    (split_layers) or None for the stacked lax.scan layout."""
+    ls = params["layers"]
+    return ls if isinstance(ls, (list, tuple)) else None
 
 
 def _qkv_proj(p, cfg: QwenVLTextConfig, h, b, s):
@@ -262,12 +299,18 @@ def text_forward(params, cfg: QwenVLTextConfig, inputs_embeds, position_ids,
     bias = _causal_bias(attn_mask, inputs_embeds.shape[1])
     key_mask = attn_mask.astype(bool)
 
-    def body(x, layer_params):
-        x, _ = _layer(layer_params, cfg, x, cos, sin, bias,
-                      key_mask=key_mask)
-        return x, None
+    layers = _layer_seq(params)
+    if layers is not None:       # split_layers layout: unrolled, no xs copy
+        x = inputs_embeds
+        for lp in layers:
+            x, _ = _layer(lp, cfg, x, cos, sin, bias, key_mask=key_mask)
+    else:
+        def body(x, layer_params):
+            x, _ = _layer(layer_params, cfg, x, cos, sin, bias,
+                          key_mask=key_mask)
+            return x, None
 
-    x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
+        x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
     return rms_norm(x, params["norm"]["scale"], cfg.eps)
 
 
@@ -459,7 +502,16 @@ def prefill(params, cfg: QwenVLTextConfig, inputs_embeds, position_ids,
             return x, (k8, ks, v8, vs)
         return x, (k_buf, v_buf)
 
-    x, caches = jax.lax.scan(body, inputs_embeds, params["layers"])
+    layers = _layer_seq(params)
+    if layers is not None:       # split_layers layout: unrolled, no xs copy
+        x, parts = inputs_embeds, []
+        for lp in layers:
+            x, c = body(x, lp)
+            parts.append(c)
+        caches = tuple(jnp.stack([c[i] for c in parts])
+                       for i in range(len(parts[0])))
+    else:
+        x, caches = jax.lax.scan(body, inputs_embeds, params["layers"])
     hidden = rms_norm(x, params["norm"]["scale"], cfg.eps)
     logits = lm_logits(params, hidden[:, -1])
     return logits, caches, hidden
@@ -518,23 +570,39 @@ def greedy_decode(params, cfg: QwenVLTextConfig, caches, first_token,
         bias = jnp.where(ok, 0.0, -1e30)[:, None, None, :].astype(jnp.float32)
         bias = jnp.broadcast_to(bias, (b, 1, 1, s_max))
 
-        # Weights AND caches ride the layer scan as xs (consumed per layer
-        # without the copies an explicit dynamic_index materialises —
-        # profiled at ~4.5 ms/token at B=8); each layer emits only its
-        # new-token K/V as ys, and ONE dynamic_update_slice per token
-        # writes the [L, B, 1, KV, D] slab into the while-carried buffers.
+        # Weights AND caches ride the layer loop sliced per layer; each
+        # layer emits only its new-token K/V, and ONE dynamic_update_slice
+        # per token writes the [L, B, 1, KV, D] slab into the while-carried
+        # buffers.  With split_layers params the loop is Python-unrolled:
+        # the scan-xs weight slice would have to MATERIALISE before the
+        # Pallas W4 GEMV kernels (an extra write+read of the whole 3.26 GB
+        # weight stream per token, ~2.2 ms at B=8 — proto_decode_unroll).
+        # Cache reads stay stacked either way: static/xs slices feeding
+        # XLA einsums fuse without copies.
+        layers = _layer_seq(params)
         if int8_cache:
             k8, ks = kbuf
             v8, vs = vbuf
 
-            def layer_body(x, inp):  # noqa: F811 — int8 variant
-                lp, kc8, kcs, vc8, vcs = inp
-                x, k_new, v_new = _decode_layer_xs(
-                    lp, cfg, x, cos, sin, bias, (kc8, kcs), (vc8, vcs))
-                return x, (k_new, v_new)
+            if layers is not None:
+                kns, vns = [], []
+                for i, lp in enumerate(layers):
+                    x, k_new, v_new = _decode_layer_xs(
+                        lp, cfg, x, cos, sin, bias,
+                        (k8[i], ks[i]), (v8[i], vs[i]))
+                    kns.append(k_new)
+                    vns.append(v_new)
+                k_stack = jnp.stack(kns)
+                v_stack = jnp.stack(vns)
+            else:
+                def layer_body(x, inp):  # noqa: F811 — int8 variant
+                    lp, kc8, kcs, vc8, vcs = inp
+                    x, k_new, v_new = _decode_layer_xs(
+                        lp, cfg, x, cos, sin, bias, (kc8, kcs), (vc8, vcs))
+                    return x, (k_new, v_new)
 
-            x, (k_stack, v_stack) = jax.lax.scan(
-                layer_body, x, (params["layers"], k8, ks, v8, vs))
+                x, (k_stack, v_stack) = jax.lax.scan(
+                    layer_body, x, (params["layers"], k8, ks, v8, vs))
             kq, kqs = _kv_quantize(k_stack)
             vq, vqs = _kv_quantize(v_stack)
             kbuf = (jax.lax.dynamic_update_slice(k8, kq, (0, 0, pos, 0, 0)),
@@ -542,14 +610,24 @@ def greedy_decode(params, cfg: QwenVLTextConfig, caches, first_token,
             vbuf = (jax.lax.dynamic_update_slice(v8, vq, (0, 0, pos, 0, 0)),
                     jax.lax.dynamic_update_slice(vs, vqs, (0, 0, pos, 0)))
         else:
-            def layer_body(x, inp):  # noqa: F811 — bf16 variant
-                lp, kc, vc = inp
-                x, k_new, v_new = _decode_layer_xs(lp, cfg, x, cos, sin,
-                                                   bias, kc, vc)
-                return x, (k_new, v_new)
+            if layers is not None:
+                kns, vns = [], []
+                for i, lp in enumerate(layers):
+                    x, k_new, v_new = _decode_layer_xs(
+                        lp, cfg, x, cos, sin, bias, kbuf[i], vbuf[i])
+                    kns.append(k_new)
+                    vns.append(v_new)
+                k_stack = jnp.stack(kns)
+                v_stack = jnp.stack(vns)
+            else:
+                def layer_body(x, inp):  # noqa: F811 — bf16 variant
+                    lp, kc, vc = inp
+                    x, k_new, v_new = _decode_layer_xs(lp, cfg, x, cos, sin,
+                                                       bias, kc, vc)
+                    return x, (k_new, v_new)
 
-            x, (k_stack, v_stack) = jax.lax.scan(
-                layer_body, x, (params["layers"], kbuf, vbuf))
+                x, (k_stack, v_stack) = jax.lax.scan(
+                    layer_body, x, (params["layers"], kbuf, vbuf))
             kbuf = jax.lax.dynamic_update_slice(
                 kbuf, k_stack.astype(kbuf.dtype), (0, 0, pos, 0, 0))
             vbuf = jax.lax.dynamic_update_slice(

@@ -200,9 +200,16 @@ class PhysicEditPipeline:
                 # group — the launch-latency win for the M=1 reasoner
                 # decode; the embedding table goes int8 (per-row scales,
                 # -0.55 GB of the single-chip residency budget)
-                kw["text_params"] = quantize_embedding_int8(
+                from physicedit_tpu.models.qwen_vl import split_layers
+
+                # fused qkv / gate_up, int8 embedding, and PER-LAYER weight
+                # trees: the unrolled layer loop lets the Pallas W4 GEMVs
+                # read each layer's buffer in place instead of paying the
+                # scan-xs slice materialisation (~2.2 ms/decode token,
+                # tools/proto_decode_unroll.py)
+                kw["text_params"] = split_layers(quantize_embedding_int8(
                     fuse_decode_projections(
-                        quantize_tree_int4(kw["text_params"])))
+                        quantize_tree_int4(kw["text_params"]))))
                 kw["kv_int8"] = True
             if "vision_params" in kw:
                 # the 675M-param ViT is 1.35 GB bf16 — W4 makes it 0.34,

@@ -316,3 +316,55 @@ def test_int8_kv_cache_decode_matches_float():
     tq, _ = jvl.greedy_decode(params, cfg, cq, first, s, start_rope, n_new)
     assert np.array_equal(np.asarray(tf), np.asarray(tq)), (
         f"int8-KV decode diverged: {np.asarray(tf)} vs {np.asarray(tq)}")
+
+
+def test_split_layers_matches_stacked():
+    """split_layers (per-layer weight trees, unrolled layer loop — the
+    serving decode layout that avoids the scan-xs slice materialisation in
+    front of the Pallas GEMVs) is bitwise-equivalent to the stacked scan
+    across text_forward, prefill and greedy_decode (incl. int8 KV)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cfg = jvl.QwenVLTextConfig(
+        hidden_size=64, num_layers=3, num_heads=4, num_kv_heads=2,
+        head_dim=16, intermediate_size=128, vocab_size=256, eos_token_id=-1)
+    params = jvl.init_text_params(jax.random.PRNGKey(11), cfg, jnp.float32)
+    split = jvl.split_layers(params)
+    assert isinstance(split["layers"], tuple) and len(split["layers"]) == 3
+    assert jvl.split_layers(split) is split or isinstance(
+        jvl.split_layers(split)["layers"], tuple)   # idempotent
+
+    rng = np.random.default_rng(3)
+    b, s, n_new = 2, 16, 8
+    emb = jnp.asarray(rng.normal(size=(b, s, cfg.hidden_size)) * 0.3,
+                      jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(s)[None, None], (3, b, s))
+    mask = jnp.ones((b, s), bool)
+
+    h0 = jvl.text_forward(params, cfg, emb, pos, mask)
+    h1 = jvl.text_forward(split, cfg, emb, pos, mask)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0),
+                               rtol=1e-6, atol=1e-6)
+
+    for kv_int8 in (False, True):
+        l0, c0, _ = jvl.prefill(params, cfg, emb, pos, mask, s + n_new,
+                                kv_int8=kv_int8)
+        l1, c1, _ = jvl.prefill(split, cfg, emb, pos, mask, s + n_new,
+                                kv_int8=kv_int8)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=1e-5, atol=1e-5)
+        for a, c in zip(c1, c0):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(c, np.float32),
+                                       rtol=1e-5, atol=1e-5)
+
+        first = jnp.argmax(l0, -1).astype(jnp.int32)
+        start_rope = jnp.full((b,), s, jnp.int32)
+        t0, d0 = jvl.greedy_decode(params, cfg, c0, first, s, start_rope,
+                                   n_new)
+        t1, d1 = jvl.greedy_decode(split, cfg, c1, first, s, start_rope,
+                                   n_new)
+        assert np.array_equal(np.asarray(t0), np.asarray(t1)), kv_int8
+        assert np.array_equal(np.asarray(d0), np.asarray(d1))
