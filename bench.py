@@ -289,9 +289,11 @@ def bench_vl(cfg_name="w4", batch_sizes=(1, 4, 8)):
 
     cfg = dataclasses.replace(m.QWEN25_VL_7B_TEXT, eos_token_id=-1)
     dtype = jnp.bfloat16
-    shapes = jax.eval_shape(lambda: m.fuse_decode_projections(
+    # split_layers: the shipped W4 serving layout (unrolled layer loop —
+    # no scan-xs slice materialisation in front of the Pallas GEMVs)
+    shapes = jax.eval_shape(lambda: m.split_layers(m.fuse_decode_projections(
         quantize_tree_int4(m.init_text_params(jax.random.PRNGKey(0), cfg,
-                                              dtype))))
+                                              dtype)))))
     params = random_tree_like(2, shapes)
     log(f"vl params ({cfg_name}): {tree_size_bytes(params)/1e9:.2f} GB")
 

@@ -411,8 +411,21 @@ def _w4a8_from_q(p: dict, xq, xs, lead, out_dtype) -> jax.Array:
     # large non-divisible M pads up to 256-row blocks (a full-M block
     # would blow the 16MB VMEM budget); tiny M rounds to sublane multiples
     bm = pick(m, (512, 256), 256 if m >= 256 else _round_up(max(m, 8), 8))
-    bn = pick(n, (1024, 512, 256), 128)
-    bk2 = pick(k2, (512, 256), 128)
+    if m < 256:
+        # GEMV regime (decode): the kernel is DMA-stream-bound, and the
+        # measured optimum is ~1-2.5 MB weight tiles, 15-25% faster than
+        # the 131-262 KB defaults on the big projections
+        # (tools/proto_gemv_tiles.py @ M=8: gate_up 274->208 us,
+        # down 220->162, qkv 147->128).  Pick the largest divisor pair
+        # under a 2.5 MB tile budget.
+        bn = pick(n, (4736, 4608, 4096, 3584, 2048, 1792, 1024, 512, 256),
+                  128)
+        budget = 2_500_000
+        bk2 = pick(k2, tuple(c for c in (4736, 2368, 1792, 896, 512, 256)
+                             if c * bn <= budget), 128)
+    else:
+        bn = pick(n, (1024, 512, 256), 128)
+        bk2 = pick(k2, (512, 256), 128)
     pad_m = _round_up(m, bm) - m
     if pad_m:
         xq = jnp.pad(xq, ((0, pad_m), (0, 0)))
