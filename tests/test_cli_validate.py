@@ -175,7 +175,11 @@ def test_from_pretrained_int4_quantized_tiny(tmp_path, monkeypatch):
     paths = sorted(glob.glob(os.path.join(base, "**/*.safetensors"),
                              recursive=True))
     pipe = PhysicEditPipeline.from_pretrained(paths, quantize="int4")
-    layers = pipe.text_params["layers"]
+    # the int4 serving load path ships the split-layer (unrolled) layout:
+    # a tuple of per-layer trees, each with fused decode projections
+    split = pipe.text_params["layers"]
+    assert isinstance(split, tuple) and len(split) == pipe.text_cfg.num_layers
+    layers = split[0]
     assert "qkv" in layers and "gate_up" in layers["mlp"]  # fused GEMVs
     # tiny VL leaves sit below the quantize size threshold (float fuse);
     # the DiT projections are large enough to get the packed-int4 layout
