@@ -106,16 +106,22 @@ def build_rope_tables(img_shapes: list[tuple[int, int, int]], txt_seq_len: int,
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """Rotate adjacent pairs of the last dim; fp32 math, returns input dtype.
 
-    x: [..., S, D]; cos/sin: [S, D//2] (broadcast over leading dims).
+    x: [..., S, D]; cos/sin: [..., S, D//2] (broadcast over leading dims).
+
+    TPU form: the textbook even/odd formulation (stride-2 slices + stack
+    re-interleave) costs 4x its HBM roofline in lane shuffles — 2.20 ms
+    per [2,24,8448,128] apply vs 0.57 ms for this rewrite
+    (tools/proto_rope.py; bitwise-identical outputs).  Interleave the
+    TABLES once (ci[2i]=ci[2i+1]=cos[i]; si[2i]=-sin[i], si[2i+1]=sin[i])
+    and swap adjacent lanes of x, so the data path is one fused
+    multiply-add pass:  out = x*ci + swap(x)*si.
     """
-    in_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    x0 = xf[..., 0::2]
-    x1 = xf[..., 1::2]
-    out0 = x0 * cos - x1 * sin
-    out1 = x0 * sin + x1 * cos
-    out = jnp.stack([out0, out1], axis=-1).reshape(x.shape)
-    return out.astype(in_dtype)
+    d = x.shape[-1]
+    ci = jnp.repeat(cos, 2, axis=-1)
+    si = jnp.stack([-sin, sin], axis=-1).reshape(*sin.shape[:-1], d)
+    xs = x.reshape(*x.shape[:-1], d // 2, 2)[..., ::-1].reshape(x.shape)
+    out = x.astype(jnp.float32) * ci + xs.astype(jnp.float32) * si
+    return out.astype(x.dtype)
 
 
 def text_rope_tables(txt_len: int, max_vid_index: int,
