@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "optimizer-state HBM for large LoRA ranks")
     p.add_argument("--lora_dtype", default="float32",
                    choices=("float32", "bfloat16"))
+    p.add_argument("--optimizer", default="adamw",
+                   choices=("adamw", "adafactor"),
+                   help="adafactor: factored second moment, ~zero "
+                        "optimizer-state HBM — fits reference-scale r=128 "
+                        "on one 16 GB chip (documented divergence)")
     return p
 
 
@@ -100,7 +105,8 @@ def main(argv=None):
         quantize_frozen=args.quantize_frozen,
         cached_inputs=args.cached_inputs_path is not None,
         optimizer_state_dtype=args.optimizer_state_dtype,
-        lora_dtype=args.lora_dtype)
+        lora_dtype=args.lora_dtype,
+        optimizer=args.optimizer)
 
     mesh = None
     if args.data_parallel * args.model_parallel > 1:

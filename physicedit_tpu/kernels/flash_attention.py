@@ -43,13 +43,27 @@ DEFAULT_BQ = 256
 DEFAULT_BK = 1024
 
 
-def _pick_blocks(sq: int, sk: int) -> tuple[int, int]:
+def _pick_blocks(sq: int, sk: int,
+                 has_bias2d: bool = False) -> tuple[int, int]:
     """Largest well-performing blocks that divide the (padded) lengths.
 
     Measured on v5e at the 8448 workload (tools/measure_w4_block.py
-    --attn-sweep, round 3): (768, 2816) 14.17-14.29 ms < (1408, 1408)
-    14.51-14.56 < (512, 1024) 17.3; tiles larger than ~2816 fail to
-    compile (VMEM); any multiple-of-128 block divides after padding."""
+    --attn-sweep): with the scoped-VMEM limit raised to use the chip's
+    128 MB VMEM (CompilerParams.vmem_limit_bytes — the 16 MB default is
+    what capped round 3's sweep at block_k 2816), the optimum is a
+    SINGLE k-block: (768, 8448) 13.53-13.62 ms < (1408, 2816) 13.90 <
+    (768, 2816) 14.06-14.34 — one softmax phase per q-tile, no
+    accumulator carry across k iterations.  Larger q tiles regress
+    ((1056, 8448) 14.12, (2112, 8448) 16.69).  The single-k-block mode
+    is taken whenever the fp32 score tile fits a 32 MB stack budget;
+    2D-bias (EliGen) calls stream a [block_q, block_k] bias tile too,
+    so they stay on the multi-block path at large sk."""
+    sk1 = -(-sk // 128) * 128
+    if not has_bias2d and 768 * sk1 * 4 <= 32 * 1024 * 1024:
+        for bq in (768, 704, 512, 384, 256, 128):
+            if sq % bq == 0:
+                return bq, sk1
+        return 768, sk1                      # q axis tail-padded
     if sq % 768 == 0 and sk % 2816 == 0:
         return 768, 2816
     bq = 1408 if sq % 1408 == 0 else (768 if sq % 768 == 0 else DEFAULT_BQ)
@@ -152,7 +166,10 @@ def _fixedmax_bnsd(q, k, v, key_bias, block_q, block_k, clamp=True,
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # v5e VMEM is 128 MB; the 16 MB default scoped budget is what
+            # capped the round-3 tile sweep at block_k 2816
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(q, k, v, key_bias)
 
 
@@ -225,7 +242,10 @@ def _fixedmax_bnsd_lse(q, k, v, key_bias, block_q, block_k, clamp=True,
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # v5e VMEM is 128 MB; the 16 MB default scoped budget is what
+            # capped the round-3 tile sweep at block_k 2816
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(q, k, v, key_bias)
 
 
@@ -337,7 +357,10 @@ def _fm_bwd(q, k, v, key_bias, g, dd, l, block_q, block_k, clamp=True,
         out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # v5e VMEM is 128 MB; the 16 MB default scoped budget is what
+            # capped the round-3 tile sweep at block_k 2816
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(q, k, v, key_bias, g, dd, l)
 
     dk, dv = pl.pallas_call(
@@ -366,7 +389,10 @@ def _fm_bwd(q, k, v, key_bias, g, dd, l, block_q, block_k, clamp=True,
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # v5e VMEM is 128 MB; the 16 MB default scoped budget is what
+            # capped the round-3 tile sweep at block_k 2816
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(q, k, v, key_bias, g, dd, l)
     return dq, dk, dv
 
@@ -428,7 +454,10 @@ def _fixedmax_bnsd_bias(q, k, v, key_bias, bias, block_q, block_k):
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # v5e VMEM is 128 MB; the 16 MB default scoped budget is what
+            # capped the round-3 tile sweep at block_k 2816
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(q, k, v, bias, key_bias)
 
 
@@ -497,7 +526,10 @@ def _flash_bnsd(q, k, v, key_mask, block_q=DEFAULT_BQ, block_k=DEFAULT_BK):
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # v5e VMEM is 128 MB; the 16 MB default scoped budget is what
+            # capped the round-3 tile sweep at block_k 2816
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(q, k, v, key_mask)
 
 
@@ -570,7 +602,10 @@ def _flash_bnsd_bias(q, k, v, key_mask, bias, block_q=DEFAULT_BQ,
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # v5e VMEM is 128 MB; the 16 MB default scoped budget is what
+            # capped the round-3 tile sweep at block_k 2816
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(q, k, v, key_mask, bias)
 
 
@@ -712,7 +747,7 @@ def flash_attention_bnsd(q, k, v, key_mask=None, bias=None,
     b, n, s, d = q.shape
     sk_in = k.shape[2]
     if block_q is None or block_k is None:
-        bq_auto, bk_auto = _pick_blocks(s, sk_in)
+        bq_auto, bk_auto = _pick_blocks(s, sk_in, has_bias2d=bias is not None)
         block_q = block_q or bq_auto
         block_k = block_k or bk_auto
     if key_mask is None:

@@ -78,12 +78,30 @@ def scale_by_adam_low_memory(b1: float = 0.9, b2: float = 0.999,
 
 def make_optimizer(lr: float = 1e-5, weight_decay: float = 1e-2,
                    gradient_accumulation_steps: int = 1,
-                   state_dtype=None):
+                   state_dtype=None, name: str = "adamw"):
     """AdamW + constant LR; micro-batch gradient accumulation via
     optax.MultiSteps (the Accelerate `accumulate` equivalent,
     train_physicedit.py:517,655).  state_dtype stores the Adam moments in
-    a low dtype (bf16) for large-rank LoRA on small-HBM chips."""
-    if state_dtype is None:
+    a low dtype (bf16) for large-rank LoRA on small-HBM chips.
+
+    name="adafactor" swaps in Adafactor with a factored second moment and
+    no first moment: optimizer state shrinks from 2x the trainable size
+    to (rows+cols) per matrix — effectively free.  This is the one-chip
+    answer to the reference's r=128 configuration (train_multigpu.sh:30-37,
+    ~944M trainable params: fp32 AdamW states alone are 7.5 GB, bf16 ones
+    3.8 GB; Adafactor's are ~8 MB), a documented divergence from the
+    reference's AdamW — AdamW stays the default and the multi-chip mode.
+    """
+    if name == "adafactor":
+        opt = optax.adafactor(
+            learning_rate=lr,
+            multiply_by_parameter_scale=False,  # LR is absolute, like AdamW
+            clipping_threshold=1.0,
+            weight_decay_rate=weight_decay * lr,  # decoupled decay per step
+        )
+    elif name != "adamw":
+        raise ValueError(f"unknown optimizer {name!r} (adamw | adafactor)")
+    elif state_dtype is None:
         opt = optax.adamw(lr, weight_decay=weight_decay)
     else:
         opt = optax.chain(

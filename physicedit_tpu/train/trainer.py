@@ -71,6 +71,10 @@ class TrainConfig:
     # LoRA factor dtype ('float32' | 'bfloat16'): bf16 halves the
     # param+grad HBM of the trainable surface
     lora_dtype: str = "float32"
+    # 'adamw' (reference optimizer, train_physicedit.py:451-452) |
+    # 'adafactor' (factored second moment, ~zero optimizer-state HBM —
+    # the one-chip mode for reference-scale r=128)
+    optimizer: str = "adamw"
 
 
 def init_trainable(pipe, cfg: TrainConfig):
@@ -119,7 +123,8 @@ class Trainer:
             cfg.learning_rate, cfg.weight_decay,
             cfg.gradient_accumulation_steps,
             state_dtype=(None if cfg.optimizer_state_dtype == "float32"
-                         else getattr(jnp, cfg.optimizer_state_dtype)))
+                         else getattr(jnp, cfg.optimizer_state_dtype)),
+            name=cfg.optimizer)
         self.trainable = init_trainable(pipe, cfg)
         self.opt_state = self.optimizer.init(self.trainable)
         self._report_trainable()

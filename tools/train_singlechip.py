@@ -40,7 +40,7 @@ def log(*a):
 
 def run(rank: int = 16, reps: int = 3, num_layers: int = 60,
         attn_impl: str = "pallas", state_dtype: str | None = None,
-        lora_dtype: str = "float32"):
+        lora_dtype: str = "float32", optimizer_name: str = "adamw"):
     from physicedit_tpu import lora as jlora
     from physicedit_tpu.core.params import random_tree_like, tree_size_bytes
     from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
@@ -109,8 +109,11 @@ def run(rank: int = 16, reps: int = 3, num_layers: int = 60,
 
     optimizer = make_optimizer(
         lr=5e-5,
-        state_dtype=None if state_dtype is None else getattr(jnp, state_dtype))
+        state_dtype=None if state_dtype is None else getattr(jnp, state_dtype),
+        name=optimizer_name)
     opt_state = optimizer.init(trainable)
+    log(f"optimizer={optimizer_name} state: "
+        f"{tree_size_bytes(opt_state)/1e9:.3f} GB")
     t_min, t_max = fm.adapter_t_range()
     frozen = {"dit": dit_params}
 
@@ -132,9 +135,9 @@ def run(rank: int = 16, reps: int = 3, num_layers: int = 60,
         loss = float(metrics["loss"])  # value fetch = honest sync
         best = min(best, time.perf_counter() - t0)
     g = jax.tree_util.tree_leaves(trainable["lora"])[0]
-    log(f"MEASURED single-chip LoRA train step (60-block W4 DiT, r={rank}): "
-        f"{best:.3f} s/step; loss={loss:.4f}; lora updated="
-        f"{bool(jnp.any(g != 0))}")
+    log(f"MEASURED single-chip LoRA train step (60-block W4 DiT, r={rank}, "
+        f"{optimizer_name}): {best:.3f} s/step; loss={loss:.4f}; "
+        f"lora updated={bool(jnp.any(g != 0))}")
     return best
 
 
@@ -149,6 +152,10 @@ if __name__ == "__main__":
                          "halves optimizer-state HBM for large ranks")
     ap.add_argument("--lora-dtype", default="float32",
                     help="LoRA factor dtype (bfloat16 halves param+grad HBM)")
+    ap.add_argument("--optimizer", default="adamw",
+                    choices=("adamw", "adafactor"),
+                    help="adafactor: factored second moment, ~zero state "
+                         "HBM — the r=128 one-chip mode")
     args = ap.parse_args()
     run(args.rank, args.reps, args.layers, args.attn, args.state_dtype,
-        args.lora_dtype)
+        args.lora_dtype, args.optimizer)
