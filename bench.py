@@ -274,6 +274,48 @@ def bench_dit_bf16_per_block(dtype):
     return block_s
 
 
+def bench_quant_delta(dtype, n_layers=3):
+    """int4-vs-bf16 DiT output delta on random weights — the quality
+    bound of the W4A8 serving mode that is measurable WITHOUT real
+    weights (random Gaussian init is a reasonable proxy for per-channel
+    int4 rounding error; the real-weight LPIPS procedure is
+    tools/capture_goldens.py compare --quantize int4, docs/REAL_WEIGHTS.md).
+
+    Runs the same input through an n_layers full-width DiT with bf16
+    weights and with the packed-int4 quantization of those SAME weights,
+    and reports the relative L2 error and cosine similarity of the
+    velocity prediction."""
+    from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
+    from physicedit_tpu.models import dit as jdit
+    from physicedit_tpu.ops import rope as jrope
+
+    b, grid, s_t = 2, 64, 256
+    cfg = jdit.DiTConfig(num_layers=n_layers)
+    tables = tuple(map(jnp.asarray, jrope.build_rope_tables(
+        [(1, grid, grid), (1, grid, grid)], s_t)))
+    mask = jnp.ones((b, s_t), bool)
+    rng = np.random.default_rng(7)
+    tt = jnp.asarray(rng.normal(size=(b, s_t, 3584)) * 0.1, dtype)
+    it = jnp.asarray(rng.normal(size=(b, 2 * grid * grid, 64)) * 0.3, dtype)
+    params = jdit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)
+
+    def fwd(p, it):
+        return jdit.dit_forward(p, cfg, it, tt, jnp.full((b,), 0.5, dtype),
+                                *tables, txt_key_mask=mask,
+                                attn_impl="pallas")
+
+    out_ref = np.asarray(jax.jit(fwd)(params, it), np.float32)
+    qparams = quantize_tree_int4(params)
+    out_q = np.asarray(jax.jit(fwd)(qparams, it), np.float32)
+    diff = out_q - out_ref
+    rel = float(np.linalg.norm(diff) / np.linalg.norm(out_ref))
+    cos = float((out_q.ravel() @ out_ref.ravel())
+                / (np.linalg.norm(out_q) * np.linalg.norm(out_ref)))
+    log(f"quant delta ({n_layers} blocks, random weights): "
+        f"rel L2 {rel:.4f}, cosine {cos:.6f}")
+    return {"n_layers": n_layers, "rel_l2": rel, "cosine": cos}
+
+
 def bench_vl(cfg_name="w4", batch_sizes=(1, 4, 8)):
     """VL-7B conditioning: prefill at the edit-prompt length + decode
     ms/token, packed-int4 weights (the single-chip co-resident config).
@@ -432,6 +474,9 @@ def main():
     bf16_block_s = bench_dit_bf16_per_block(dtype)
     bf16_step_s = NUM_BLOCKS * bf16_block_s
     detail["bf16_block_s"] = bf16_block_s
+
+    # ---- 2b. int4-vs-bf16 output delta (random-weight quality bound) ----
+    detail["quant_delta"] = bench_quant_delta(dtype)
 
     # ---- 3. VL conditioning (packed int4, co-resident budget) -----------
     # B=1: single edit; B=2: the prefill chunk size (reason_physical_batch

@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="adafactor: factored second moment, ~zero "
                         "optimizer-state HBM — fits reference-scale r=128 "
                         "on one 16 GB chip (documented divergence)")
+    p.add_argument("--adapters_dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="adapter master-weight dtype; bfloat16 frees "
+                        "~1 GB params+grads (needed for the one-chip "
+                        "r=128 mode; float32 is reference-fidelity)")
     return p
 
 
@@ -106,7 +111,8 @@ def main(argv=None):
         cached_inputs=args.cached_inputs_path is not None,
         optimizer_state_dtype=args.optimizer_state_dtype,
         lora_dtype=args.lora_dtype,
-        optimizer=args.optimizer)
+        optimizer=args.optimizer,
+        adapters_dtype=args.adapters_dtype)
 
     mesh = None
     if args.data_parallel * args.model_parallel > 1:

@@ -121,14 +121,18 @@ def init_dit_lora(key, cfg, rank: int = 128, dtype=jnp.float32):
     for name, shape in dims.items():
         if isinstance(shape, list):
             ins = shape[0][0]
+            # NB: scale by a weak Python float — a NumPy scalar would
+            # promote bf16 A-factors to fp32 and silently defeat `dtype`
             lora[name] = {
-                "A": jax.random.normal(next(ks), (L, 3, ins, rank), dtype) / np.sqrt(ins),
+                "A": jax.random.normal(next(ks), (L, 3, ins, rank), dtype)
+                * float(1.0 / np.sqrt(ins)),
                 "B": jnp.zeros((L, 3, rank, shape[0][1]), dtype),
             }
         else:
             ins, outs = shape
             lora[name] = {
-                "A": jax.random.normal(next(ks), (L, ins, rank), dtype) / np.sqrt(ins),
+                "A": jax.random.normal(next(ks), (L, ins, rank), dtype)
+                * float(1.0 / np.sqrt(ins)),
                 "B": jnp.zeros((L, rank, outs), dtype),
             }
     return lora

@@ -75,6 +75,11 @@ class TrainConfig:
     # 'adafactor' (factored second moment, ~zero optimizer-state HBM —
     # the one-chip mode for reference-scale r=128)
     optimizer: str = "adamw"
+    # adapter (non-LoRA) master-weight dtype: bf16 frees ~1 GB of
+    # params+grads — together with adafactor + bf16 factors this is what
+    # fits reference-scale r=128 on ONE 16 GB chip (measured,
+    # tools/train_singlechip.py); fp32 is the reference-fidelity mode
+    adapters_dtype: str = "float32"
 
 
 def init_trainable(pipe, cfg: TrainConfig):
@@ -85,24 +90,28 @@ def init_trainable(pipe, cfg: TrainConfig):
     arrays would delete them out from under later pipeline use.
     """
     keys = iter(jax.random.split(jax.random.PRNGKey(cfg.seed), 16))
-    adapters = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
-                                      dict(pipe.adapters))
+    adt = getattr(jnp, cfg.adapters_dtype)
+    adapters = jax.tree_util.tree_map(
+        lambda x: jnp.array(x, copy=True, dtype=adt), dict(pipe.adapters))
     adapters.setdefault("visual_thinking_adapter", m_ad.init_dual_adapter_params(
-        next(keys), pipe.dit_cfg.txt_in_dim, pipe.dit_cfg.txt_in_dim))
+        next(keys), pipe.dit_cfg.txt_in_dim, pipe.dit_cfg.txt_in_dim,
+        dtype=adt))
     adapters.setdefault("dino_resampler", m_ad.init_perceiver_params(
         next(keys), dim=pipe.dinov2_cfg.hidden_size,
-        num_latents=m_ad.SPECIAL_TOKEN_NUM))
+        num_latents=m_ad.SPECIAL_TOKEN_NUM, dtype=adt))
     adapters.setdefault("dino_resampler_adapter", m_ad.init_visual_thinking_params(
-        next(keys), pipe.dinov2_cfg.hidden_size, pipe.dit_cfg.txt_in_dim))
-    adapters.setdefault("dino_time_embed", jax.random.normal(
-        next(keys), (MAX_KEY_FRAMES, pipe.dinov2_cfg.hidden_size)) * 0.02)
+        next(keys), pipe.dinov2_cfg.hidden_size, pipe.dit_cfg.txt_in_dim,
+        dtype=adt))
+    adapters.setdefault("dino_time_embed", (jax.random.normal(
+        next(keys), (MAX_KEY_FRAMES, pipe.dinov2_cfg.hidden_size)) * 0.02
+        ).astype(adt))
     adapters.setdefault("vae_resampler", m_ad.init_perceiver_params(
         next(keys), dim=64, num_latents=m_ad.SPECIAL_TOKEN_NUM,
-        max_num_media_tokens=10240))
+        max_num_media_tokens=10240, dtype=adt))
     adapters.setdefault("vae_resampler_adapter", m_ad.init_visual_thinking_params(
-        next(keys), 64, pipe.dit_cfg.txt_in_dim))
-    adapters.setdefault("vae_time_embed", jax.random.normal(
-        next(keys), (MAX_KEY_FRAMES, 64)) * 0.02)
+        next(keys), 64, pipe.dit_cfg.txt_in_dim, dtype=adt))
+    adapters.setdefault("vae_time_embed", (jax.random.normal(
+        next(keys), (MAX_KEY_FRAMES, 64)) * 0.02).astype(adt))
     lora = jlora.init_dit_lora(next(keys), pipe.dit_cfg, rank=cfg.lora_rank,
                                dtype=getattr(jnp, cfg.lora_dtype))
     return {"lora": lora, "adapters": adapters}

@@ -10,13 +10,17 @@ backward is a pair of custom kernels (kernels/flash_attention.py).
 
 Workload: the reference training shape (480x832 image, B=1, joint
 sequence = 1560 base + 1560 edit + 256 text tokens), LoRA rank
-configurable (r=16 fits comfortably with fp32 AdamW states; r=128 needs
-bf16 optimizer states or a second chip — see stderr memory report).
+configurable.  Measured fit ladder on a 15.75 GB chip: r=8 fp32 AdamW;
+r=16 needs bf16 Adam moments (fp32 states exceed HBM by ~0.4 GB);
+r=32 bf16 moments + bf16 factors; the reference r=128 (~944M trainable)
+runs with Adafactor (factored second moment, ~zero state HBM) + bf16
+factors.  Results land in TRAIN_DETAIL.json for render_measured.py.
 
 Usage: python tools/train_singlechip.py [--rank 16] [--reps 3]
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -40,7 +44,8 @@ def log(*a):
 
 def run(rank: int = 16, reps: int = 3, num_layers: int = 60,
         attn_impl: str = "pallas", state_dtype: str | None = None,
-        lora_dtype: str = "float32", optimizer_name: str = "adamw"):
+        lora_dtype: str = "float32", optimizer_name: str = "adamw",
+        adapters_dtype: str = "float32"):
     from physicedit_tpu import lora as jlora
     from physicedit_tpu.core.params import random_tree_like, tree_size_bytes
     from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
@@ -61,19 +66,24 @@ def run(rank: int = 16, reps: int = 3, num_layers: int = 60,
     keys = iter(jax.random.split(jax.random.PRNGKey(1), 16))
     lora = jlora.init_dit_lora(next(keys), cfg, rank=rank,
                                dtype=getattr(jnp, lora_dtype))
+    adt = getattr(jnp, adapters_dtype)
     adapters = {
         "visual_thinking_adapter": jad.init_dual_adapter_params(
-            next(keys), cfg.txt_in_dim, cfg.txt_in_dim),
+            next(keys), cfg.txt_in_dim, cfg.txt_in_dim, dtype=adt),
         "dino_resampler": jad.init_perceiver_params(
-            next(keys), dim=768, num_latents=64, max_num_media_tokens=1024),
+            next(keys), dim=768, num_latents=64, max_num_media_tokens=1024,
+            dtype=adt),
         "dino_resampler_adapter": jad.init_visual_thinking_params(
-            next(keys), 768, cfg.txt_in_dim),
-        "dino_time_embed": jax.random.normal(next(keys), (6, 768)) * 0.02,
+            next(keys), 768, cfg.txt_in_dim, dtype=adt),
+        "dino_time_embed": (jax.random.normal(next(keys), (6, 768)) * 0.02
+                            ).astype(adt),
         "vae_resampler": jad.init_perceiver_params(
-            next(keys), dim=64, num_latents=64, max_num_media_tokens=2048),
+            next(keys), dim=64, num_latents=64, max_num_media_tokens=2048,
+            dtype=adt),
         "vae_resampler_adapter": jad.init_visual_thinking_params(
-            next(keys), 64, cfg.txt_in_dim),
-        "vae_time_embed": jax.random.normal(next(keys), (6, 64)) * 0.02,
+            next(keys), 64, cfg.txt_in_dim, dtype=adt),
+        "vae_time_embed": (jax.random.normal(next(keys), (6, 64)) * 0.02
+                           ).astype(adt),
     }
     trainable = {"lora": lora, "adapters": adapters}
     log(f"trainable: {tree_size_bytes(trainable)/1e9:.3f} GB "
@@ -138,6 +148,25 @@ def run(rank: int = 16, reps: int = 3, num_layers: int = 60,
     log(f"MEASURED single-chip LoRA train step (60-block W4 DiT, r={rank}, "
         f"{optimizer_name}): {best:.3f} s/step; loss={loss:.4f}; "
         f"lora updated={bool(jnp.any(g != 0))}")
+    if num_layers == 60:  # full-model runs feed the rendered rank ladder
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "TRAIN_DETAIL.json")
+        detail = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                detail = json.load(f)
+        detail[str(rank)] = {
+            "s_per_step": best,
+            "optimizer": optimizer_name,
+            "state_dtype": state_dtype or "float32",
+            "lora_dtype": lora_dtype,
+            "adapters_dtype": adapters_dtype,
+            "trainable_gb": tree_size_bytes(trainable) / 1e9,
+            "opt_state_gb": tree_size_bytes(opt_state) / 1e9,
+        }
+        with open(path, "w") as f:
+            json.dump(detail, f, indent=1)
+        log(f"[train] wrote {path}")
     return best
 
 
@@ -156,6 +185,11 @@ if __name__ == "__main__":
                     choices=("adamw", "adafactor"),
                     help="adafactor: factored second moment, ~zero state "
                          "HBM — the r=128 one-chip mode")
+    ap.add_argument("--adapters-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="adapter (non-LoRA) master-weight dtype; bf16 "
+                         "frees ~1 GB params+grads (one-chip r=128 "
+                         "fallback; fp32 is the reference-fidelity mode)")
     args = ap.parse_args()
     run(args.rank, args.reps, args.layers, args.attn, args.state_dtype,
-        args.lora_dtype, args.optimizer)
+        args.lora_dtype, args.optimizer, args.adapters_dtype)
