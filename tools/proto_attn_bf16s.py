@@ -27,6 +27,16 @@ kernel is MXU-bound at ~124 TF (63% of the 197 TF bf16 peak at these
 tile aspect ratios), not VPU-pass-bound — halving the score-tile element
 passes does not move it.  Kept as a record; not integrated.
 
+DEFINITIVE (second run, with v3 exp-no-sum and v4 matmuls-only):
+    v0 full kernel : 15.11 ms   v3 exp-no-sum : 14.68 ms
+    v2 no bias     : 14.80 ms   v4 matmul-only: 14.81 ms
+v4 strips EVERY softmax op (no exp, no sum, no normalize) and times the
+same as the full kernel: the whole softmax is hidden behind the MXU.
+The ~118-124 TF plateau is the MXU's fp32-accumulate emit rate at these
+shapes (both matmuls must emit fp32 — QK for softmax numerics, PV for
+the cross-k-block accumulator), not schedulable from Pallas.  The
+attention lever is CLOSED at the kernel level.
+
 Usage: python tools/proto_attn_bf16s.py
 """
 
@@ -109,6 +119,55 @@ def _nobias_kernel(q_ref, k_ref, v_ref, out_ref, l_scr, acc_scr,
     def _finish():
         out_ref[0, 0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)
                          ).astype(out_ref.dtype)
+
+
+def _noexp_kernel(q_ref, k_ref, v_ref, out_ref, l_scr, acc_scr,
+                  *, bk_total):
+    """MXU ceiling: both matmuls, NO exp/sum/normalize (garbage values)."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    acc_scr[:] += jax.lax.dot_general(s.astype(v.dtype), v,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(ki == bk_total - 1)
+    def _finish():
+        out_ref[0, 0] = acc_scr[:].astype(out_ref.dtype)
+
+
+def _expnosum_kernel(q_ref, k_ref, v_ref, out_ref, l_scr, acc_scr,
+                     *, bk_total):
+    """exp kept, row-sum/normalize dropped: isolates the sum cost."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p = jnp.exp2(s)
+    acc_scr[:] += jax.lax.dot_general(p.astype(v.dtype), v,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(ki == bk_total - 1)
+    def _finish():
+        out_ref[0, 0] = acc_scr[:].astype(out_ref.dtype)
 
 
 def _call(kernel, q, k, v, extras, block_q, block_k, n_scratch_l=128):
@@ -198,11 +257,23 @@ def main():
         o = _call(_nobias_kernel, qs, c[1], c[2], (), 768, s)
         return (o * 0.999, c[1], c[2])
 
+    def run_v3(c):
+        qs = c[0] * scale
+        o = _call(_expnosum_kernel, qs, c[1], c[2], (), 768, s)
+        return (o * 0.999, c[1], c[2])
+
+    def run_v4(c):
+        qs = c[0] * scale
+        o = _call(_noexp_kernel, qs, c[1], c[2], (), 768, s)
+        return (o * 0.999, c[1], c[2])
+
     init = (q0, k0, v0)
     for rep in range(2):
         for name, fn in (("v0 fp32-score ", run_v0),
                          ("v1 bf16-score ", run_v1),
-                         ("v2 fp32 nobias", run_v2)):
+                         ("v2 fp32 nobias", run_v2),
+                         ("v3 exp, no sum", run_v3),
+                         ("v4 matmul-only", run_v4)):
             try:
                 t = chain_time(fn, init, chain=6)
                 log(f"{name}: {t*1e3:6.2f} ms ({flops/t/1e12:5.1f} TF)")
