@@ -443,6 +443,62 @@ def memory_budget(nb: int = 8):
             "cond_peak_gb": cond_peak, "denoise_peak_gb": denoise_peak}
 
 
+def compose_single_edit(vl, vis_s, enc_s, dec_s, denoise_s,
+                        max_tokens=REASONER_MAX_TOKENS,
+                        typical_tokens=REASONER_TYPICAL_TOKENS):
+    """Pure composition of the validate-path single-edit latency from the
+    stage measurements (tested hermetically, tests/test_bench_compose.py).
+
+    reference edit = vision tower (features shared by reasoner + both CFG
+    prompt rows) + reasoner (B=1 prefill + <=max_tokens decode) + the
+    pos+neg prompt encode (ONE B=2 batched text_forward) + VAE encode +
+    denoise + VAE decode.  ``vl`` maps batch -> (prefill_s, s_per_token).
+    """
+    prefill_s, per_tok = vl[1]
+    reasoner_s = prefill_s + max_tokens * per_tok
+    reasoner_typ_s = prefill_s + typical_tokens * per_tok
+    cond_s = vis_s + vl[2][0] + enc_s
+    edit_s = reasoner_s + cond_s + denoise_s + dec_s
+    edit_typ_s = reasoner_typ_s + cond_s + denoise_s + dec_s
+    return {"reasoner_s": reasoner_s, "reasoner_typical_s": reasoner_typ_s,
+            "cond_s": cond_s, "edit_s": edit_s,
+            "edit_typical_s": edit_typ_s}
+
+
+def compose_serving(vl, denoise_s, vis_item_s, enc_item_s, dec_item_s,
+                    base_gb, cache_item_gb, hbm_gb=15.75, prompt_chunk=4,
+                    max_tokens=REASONER_MAX_TOKENS,
+                    typical_tokens=REASONER_TYPICAL_TOKENS):
+    """Pure composition of the config-#5 sweep-serving s/item (tested
+    hermetically, tests/test_bench_compose.py).
+
+    Per batch of ``nb`` items: the reasoner prefills one row at a time
+    (chunk 1 measured cheapest) and decodes the full batch in one pass
+    (reason_physical_batch; weight-read-bound, nb rows cost near one),
+    the 2*nb prompt rows encode in chunks of ``prompt_chunk``
+    (encode_prompt_edit_batch), vision/VAE ride batched invocations
+    (per-item values passed in), and the denoise stays per item (the
+    8448-token workload saturates one chip).  A batch composes only if
+    the resident models + nb int8-KV cache items + transients fit HBM.
+    Returns {nb: {"item_s", "item_typical_s", "fits"}}.
+    """
+    import math
+
+    pre1 = vl[1][0]
+    pre4 = vl.get(4, (2 * vl[2][0], None))[0]
+    fixed = vis_item_s + enc_item_s + denoise_s + dec_item_s
+    out = {}
+    for nb in sorted(b for b in vl if b >= 8):
+        tok_b = vl[nb][1]
+        cond = nb * pre1 + math.ceil(2 * nb / prompt_chunk) * pre4
+        out[nb] = {
+            "item_s": (cond + max_tokens * tok_b) / nb + fixed,
+            "item_typical_s": (cond + typical_tokens * tok_b) / nb + fixed,
+            "fits": (base_gb + nb * cache_item_gb + 0.2) <= hbm_gb,
+        }
+    return out
+
+
 def main():
     from physicedit_tpu.ops.attention import default_impl
     from tools.measure_dit60 import measure_dit60
@@ -502,11 +558,12 @@ def main():
     # (prefill + <=1000-token decode) + the pos+neg prompt encode (ONE
     # B=2 batched text_forward) + VAE encode (edit latents) + 40-step
     # denoise + VAE decode
-    reasoner_s = prefill_s + REASONER_MAX_TOKENS * per_tok
-    reasoner_typ_s = prefill_s + REASONER_TYPICAL_TOKENS * per_tok
-    cond_s = vis_s + vl[2][0] + enc_s
-    edit_s = reasoner_s + cond_s + denoise_s + dec_s
-    edit_typ_s = reasoner_typ_s + cond_s + denoise_s + dec_s
+    single = compose_single_edit(vl, vis_s, enc_s, dec_s, denoise_s)
+    reasoner_s = single["reasoner_s"]
+    reasoner_typ_s = single["reasoner_typical_s"]
+    cond_s = single["cond_s"]
+    edit_s = single["edit_s"]
+    edit_typ_s = single["edit_typical_s"]
     edits_per_min = 60.0 / edit_s
     bf16_edit_s = reasoner_s + cond_s + NUM_STEPS * bf16_step_s + dec_s
     detail.update(reasoner_s=reasoner_s, reasoner_typical_s=reasoner_typ_s,
@@ -527,40 +584,21 @@ def main():
         f"-> {60/bf16_edit_s:.3f} edits/min/chip]")
 
     # ---- Compose: sweep serving (BASELINE config #5 = the reference's
-    # own benchmark mode, a PICA/KRIS sweep).  Per item: the reasoner
-    # prefills in chunks of 2 and decodes the full batch in one pass
-    # (reason_physical_batch; the decode is weight-read-bound so nb rows
-    # cost near one), the 2*nb prompt rows encode in chunks of 4
-    # (encode_prompt_edit_batch), the vision tower rides a vmap batch
-    # axis (run_vision_batched, chunk 8), the denoise stays per item
-    # (the chip is saturated at the 8448-token workload), and the VAE
-    # encode/decode are batched (decode_images).  Chunk sizes are the
-    # memory_budget() fit.
-    import math
-
-    serving = {}
-    pre2 = vl[2][0]
-    pre4 = vl.get(4, (2 * pre2, None))[0]
+    # own benchmark mode, a PICA/KRIS sweep).  The composition math lives
+    # in compose_serving() above (hermetically tested).
     mem = detail["memory"]
-    pre1 = vl[1][0]
-    serving_typ = {}
-    for nb in (b for b in vl if b >= 8):
-        tok_b = vl[nb][1]
-        cond = (nb * pre1                               # chunk-1 prefills
-                + math.ceil(2 * nb / 4) * pre4)         # prompt encodes
-        fixed = vis8_s + enc8_s / 8 + denoise_s + dec8_s / 8
-        item_s = (cond + REASONER_MAX_TOKENS * tok_b) / nb + fixed
-        item_typ = (cond + REASONER_TYPICAL_TOKENS * tok_b) / nb + fixed
-        # single-chip feasibility: resident models + int8-KV caches +
-        # chunk-1 prefill activations inside the 15.75 GB HBM
-        fits = (mem["base_gb"] + nb * mem["cache_item_gb"] + 0.2) <= 15.75
-        if fits:
-            serving[nb] = item_s
-            serving_typ[nb] = item_typ
+    composed = compose_serving(vl, denoise_s, vis8_s, enc8_s / 8,
+                               dec8_s / 8, mem["base_gb"],
+                               mem["cache_item_gb"])
+    serving = {nb: c["item_s"] for nb, c in composed.items() if c["fits"]}
+    serving_typ = {nb: c["item_typical_s"] for nb, c in composed.items()
+                   if c["fits"]}
+    for nb, c in composed.items():
         log(f"  [sweep serving, {nb} items/batch (config #5): "
-            f"{item_s:.2f}s/item -> {60/item_s:.3f} edits/min/chip "
-            f"(typical 300-tok reasoner: {60/item_typ:.3f})"
-            f"{'' if fits else ' — EXCEEDS single-chip HBM, not composed'}]")
+            f"{c['item_s']:.2f}s/item -> {60/c['item_s']:.3f} "
+            f"edits/min/chip (typical 300-tok reasoner: "
+            f"{60/c['item_typical_s']:.3f})"
+            f"{'' if c['fits'] else ' — EXCEEDS single-chip HBM, not composed'}]")
     detail["serving_item_s"] = {str(k): v for k, v in serving.items()}
 
     if serving:

@@ -1,0 +1,92 @@
+"""Hermetic tests for bench.py's headline composition arithmetic.
+
+The BENCH_r* headline is composed from stage measurements by
+bench.compose_single_edit / bench.compose_serving; these tests pin the
+composition against hand-computed values so a refactor of bench.py
+cannot silently change what the headline means.  Workload definition:
+reference scripts/inference/validate.py:67-139 (single edit) and
+inference_pica.py:217-303 (sweep), 40 steps, CFG 4.0.
+"""
+
+import math
+
+import pytest
+
+import bench
+
+
+# vl: batch -> (prefill_s, s_per_token_total)
+VL = {1: (0.118, 0.0063), 2: (0.266, 0.0062), 4: (0.517, 0.0067),
+      8: (0.930, 0.0073), 16: (1.902, 0.0088)}
+
+
+def test_single_edit_composition_hand_computed():
+    out = bench.compose_single_edit(VL, vis_s=0.102, enc_s=0.088,
+                                    dec_s=0.125, denoise_s=75.5,
+                                    max_tokens=1000, typical_tokens=300)
+    assert out["reasoner_s"] == pytest.approx(0.118 + 1000 * 0.0063)
+    assert out["reasoner_typical_s"] == pytest.approx(0.118 + 300 * 0.0063)
+    # cond = vision tower + ONE B=2 prompt encode + VAE encode
+    assert out["cond_s"] == pytest.approx(0.102 + 0.266 + 0.088)
+    assert out["edit_s"] == pytest.approx(
+        out["reasoner_s"] + out["cond_s"] + 75.5 + 0.125)
+    assert out["edit_typical_s"] < out["edit_s"]
+
+
+def test_serving_composition_hand_computed():
+    out = bench.compose_serving(
+        VL, denoise_s=75.5, vis_item_s=0.0314, enc_item_s=0.034,
+        dec_item_s=0.054, base_gb=14.86, cache_item_gb=0.074,
+        hbm_gb=15.75, max_tokens=1000, typical_tokens=300)
+    # only batches >= 8 are serving modes
+    assert sorted(out) == [8, 16]
+    # nb=8: 8 chunk-1 prefills + ceil(16/4)=4 chunk-4 prompt encodes,
+    # batch decode, per-item fixed stages + per-item denoise
+    cond = 8 * 0.118 + 4 * 0.517
+    fixed = 0.0314 + 0.034 + 75.5 + 0.054
+    assert out[8]["item_s"] == pytest.approx(
+        (cond + 1000 * 0.0073) / 8 + fixed)
+    assert out[8]["item_typical_s"] == pytest.approx(
+        (cond + 300 * 0.0073) / 8 + fixed)
+    # HBM gate: 14.86 + 8*0.074 + 0.2 = 15.652 <= 15.75 fits;
+    # 14.86 + 16*0.074 + 0.2 = 16.244 does not
+    assert out[8]["fits"] is True
+    assert out[16]["fits"] is False
+
+
+def test_serving_prompt_encode_chunking():
+    # 2*nb prompt rows encode in ceil(2nb/chunk) calls of the chunk size
+    out4 = bench.compose_serving(
+        VL, denoise_s=0.0, vis_item_s=0.0, enc_item_s=0.0, dec_item_s=0.0,
+        base_gb=0.0, cache_item_gb=0.0, prompt_chunk=4,
+        max_tokens=0, typical_tokens=0)
+    out8 = bench.compose_serving(
+        VL, denoise_s=0.0, vis_item_s=0.0, enc_item_s=0.0, dec_item_s=0.0,
+        base_gb=0.0, cache_item_gb=0.0, prompt_chunk=8,
+        max_tokens=0, typical_tokens=0)
+    pre1, pre4 = VL[1][0], VL[4][0]
+    assert out4[8]["item_s"] == pytest.approx(
+        (8 * pre1 + math.ceil(16 / 4) * pre4) / 8)
+    assert out8[8]["item_s"] == pytest.approx(
+        (8 * pre1 + math.ceil(16 / 8) * pre4) / 8)
+
+
+def test_serving_missing_b4_falls_back_to_twice_b2():
+    vl = {k: v for k, v in VL.items() if k != 4}
+    out = bench.compose_serving(
+        vl, denoise_s=0.0, vis_item_s=0.0, enc_item_s=0.0, dec_item_s=0.0,
+        base_gb=0.0, cache_item_gb=0.0, max_tokens=0, typical_tokens=0)
+    assert out[8]["item_s"] == pytest.approx(
+        (8 * VL[1][0] + 4 * (2 * VL[2][0])) / 8)
+
+
+def test_headline_regression_floor():
+    """The composed nb=8 throughput from the recorded round-3 stage
+    measurements must clear the 3x target (0.75 edits/min/chip) — a
+    regression here means a stage measurement or the composition math
+    drifted badly."""
+    out = bench.compose_serving(
+        VL, denoise_s=75.5, vis_item_s=0.0314, enc_item_s=0.034,
+        dec_item_s=0.054, base_gb=14.86, cache_item_gb=0.074)
+    assert out[8]["fits"]
+    assert 60.0 / out[8]["item_s"] >= 0.75
