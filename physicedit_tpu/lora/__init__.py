@@ -67,17 +67,28 @@ def merge_lora_into_state_dict(sd: dict, lora_sd: dict, alpha: float = 1.0) -> d
 def split_finetuned_checkpoint(sd: dict) -> tuple[dict, dict]:
     """Split a PhysicEdit training export into (dit_lora_sd, pipeline_sd).
 
-    Mirrors validate.py:44-54: LoRA keys (containing `lora_`) target the DiT;
-    the rest are `pipe.*` adapter/resampler weights (prefix stripped here).
+    Exact validate.py:44-65 semantics: keys containing `lora_A`/`lora_B`
+    target the DiT; of the rest, `pipe.*` keys are adapter/resampler
+    weights (prefix stripped here) and anything else is DROPPED (the
+    reference's `else: continue`) — with a warning, since a dropped key
+    in a real checkpoint would mean converter drift.
     """
+    import warnings
+
     lora_sd, pipe_sd = {}, {}
+    dropped = []
     for k, v in sd.items():
-        if "lora_" in k:
+        if "lora_A" in k or "lora_B" in k:
             lora_sd[k] = v
         elif k.startswith("pipe."):
             pipe_sd[k[len("pipe."):]] = v
         else:
-            pipe_sd[k] = v
+            dropped.append(k)
+    if dropped:
+        warnings.warn(
+            f"finetuned checkpoint: dropped {len(dropped)} keys that are "
+            f"neither LoRA nor pipe.* (validate.py:55-61 drops these too); "
+            f"first: {dropped[:3]}", stacklevel=2)
     return lora_sd, pipe_sd
 
 

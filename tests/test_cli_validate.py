@@ -244,12 +244,35 @@ def test_synthetic_real_layout_tree_end_to_end(tmp_path, monkeypatch):
         "--image_path", in_path,
         "--save_path", out_path,
         "--base_model_path", base,
+        "--lora_path", os.path.join(base, "physicedit_checkpoint.safetensors"),
         "--seed", "7",
         "--num_inference_steps", "2",
         "--no_text_reasoning",
     ])
     out = np.asarray(Image.open(out_path))
     assert out.shape == (64, 64, 3) and np.isfinite(out).all()
+
+    # the finetuned checkpoint (published format: stripped-prefix peft
+    # LoRA keys + pipe.* adapter keys, validate.py:33-65) really loads:
+    # every adapter group lands, and the LoRA delta changes the DiT
+    import jax
+
+    paths = [os.path.join(base, "transformer"),
+             os.path.join(base, "text_encoder"),
+             os.path.join(base, "vae")]
+    ft_path = os.path.join(base, "physicedit_checkpoint.safetensors")
+    pipe_ft = PhysicEditPipeline.from_pretrained(
+        paths, finetuned_path=ft_path)
+    assert set(pipe_ft.adapters) == {
+        "visual_thinking_adapter", "dino_resampler", "dino_resampler_adapter",
+        "dino_time_embed", "vae_resampler", "vae_resampler_adapter",
+        "vae_time_embed"}
+    pipe_base = PhysicEditPipeline.from_pretrained(paths)
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a, np.float32)
+                                  - np.asarray(b, np.float32)).max()),
+        pipe_ft.dit_params, pipe_base.dit_params)
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0  # LoRA merge landed
 
     # DINOv2 family: HF key space loads through the converter (3-layer
     # inference from the stacked tree) and runs

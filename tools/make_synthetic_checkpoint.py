@@ -62,6 +62,8 @@ def _load_ref_module(dotted: str):
     if "refsynth" not in sys.modules:
         for name, path in [("refsynth", root),
                            ("refsynth.models", os.path.join(root, "models")),
+                           ("refsynth.pipelines",
+                            os.path.join(root, "pipelines")),
                            ("refsynth.schedulers",
                             os.path.join(root, "schedulers"))]:
             mod = types.ModuleType(name)
@@ -206,12 +208,80 @@ def build_dinov2(out: str):
         json.dump(cfg.to_dict(), f)
 
 
+# The reference's 12 LoRA target module types (train_multigpu.sh:30) as
+# they appear inside each transformer block's key space.
+LORA_TARGETS = (
+    "attn.to_q", "attn.to_k", "attn.to_v",
+    "attn.add_q_proj", "attn.add_k_proj", "attn.add_v_proj",
+    "attn.to_out.0", "attn.to_add_out",
+    "img_mlp.net.2", "txt_mlp.net.2", "img_mod.1", "txt_mod.1",
+)
+
+
+def build_finetuned(out: str, rank: int = 4, text_hidden: int = 64,
+                    dino_hidden: int = 64, vae_patch_dim: int = 64):
+    """`physicedit_checkpoint.safetensors` in the EXACT published format
+    (train_physicedit.py:180-184 export with --remove_prefix_in_ckpt
+    "pipe.dit.", loaded by validate.py:33-65):
+
+    - DiT LoRA: `transformer_blocks.{i}.{module}.lora_{A,B}.default.weight`
+      (peft naming, `pipe.dit.` prefix stripped at save) for all 12 target
+      module types, rank `rank`, shapes read back from the synthetic
+      transformer shards so the key-map AND dims stay in lockstep;
+    - adapters: `pipe.{name}.{k}` state dicts generated from the
+      REFERENCE's own torch modules (pipelines/helpers.py) at the
+      synthetic tree's dims (qwen_image_physical.py:206-224 instantiation).
+    """
+    import torch
+    from safetensors.numpy import save_file
+    from physicedit_tpu.io.safetensors_io import load_state_dict
+
+    torch.manual_seed(7)
+    rng = np.random.default_rng(7)
+    helpers = _load_ref_module("pipelines.helpers")
+
+    dit_sd = load_state_dict(os.path.join(out, "transformer"))
+    n_layers = 1 + max(int(k.split(".")[1]) for k in dit_sd
+                       if k.startswith("transformer_blocks."))
+    sd = {}
+    for i in range(n_layers):
+        for mod in LORA_TARGETS:
+            w = dit_sd[f"transformer_blocks.{i}.{mod}.weight"]
+            out_d, in_d = w.shape
+            sd[f"transformer_blocks.{i}.{mod}.lora_A.default.weight"] = (
+                rng.normal(size=(rank, in_d)).astype(np.float32) * 0.02)
+            sd[f"transformer_blocks.{i}.{mod}.lora_B.default.weight"] = (
+                rng.normal(size=(out_d, rank)).astype(np.float32) * 0.02)
+
+    def put(name, module):
+        for k, v in module.state_dict().items():
+            sd[f"pipe.{name}.{k}"] = _np(v)
+
+    put("visual_thinking_adapter", helpers.VisualThinkingDualAdapter(
+        in_dim=text_hidden, out_dim=text_hidden, t_min=20.0, t_max=1000.0))
+    put("dino_resampler", helpers.PerceiverResampler(
+        dim=dino_hidden, num_latents=8, depth=2))
+    put("dino_resampler_adapter", helpers.VisualThinkingAdapter(
+        in_dim=dino_hidden, out_dim=text_hidden))
+    put("dino_time_embed", torch.nn.Embedding(6, dino_hidden))
+    put("vae_resampler", helpers.PerceiverResampler(
+        dim=vae_patch_dim, num_latents=8, depth=2, max_num_media_tokens=256))
+    put("vae_resampler_adapter", helpers.VisualThinkingAdapter(
+        in_dim=vae_patch_dim, out_dim=text_hidden))
+    put("vae_time_embed", torch.nn.Embedding(6, vae_patch_dim))
+
+    path = os.path.join(out, "physicedit_checkpoint.safetensors")
+    save_file(sd, path)
+    return path
+
+
 def build_all(out: str, num_layers: int = 3, dim: int = 256):
     os.makedirs(out, exist_ok=True)
     build_dit(out, num_layers, dim)
     build_vae(out)
     build_text_encoder(out)
     build_dinov2(out)
+    build_finetuned(out)
     return out
 
 
