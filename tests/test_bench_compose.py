@@ -80,6 +80,47 @@ def test_serving_missing_b4_falls_back_to_twice_b2():
         (8 * VL[1][0] + 4 * (2 * VL[2][0])) / 8)
 
 
+def test_main_composes_with_stubbed_measurements(monkeypatch, capsys):
+    """bench.main() end to end with every device measurement stubbed: the
+    driver runs main() unattended at round end, so a wiring slip must fail
+    here, not 30 minutes into the real run."""
+    import json
+    from types import SimpleNamespace
+
+    import tools.measure_dit60 as md
+
+    monkeypatch.setattr(bench.jax, "devices",
+                        lambda: [SimpleNamespace(platform="tpu")])
+    monkeypatch.setattr(md, "measure_dit60", lambda n, reps=4: 1.9)
+    monkeypatch.setattr(bench, "bench_dit_bf16_per_block", lambda d: 0.0424)
+    monkeypatch.setattr(bench, "bench_quant_delta",
+                        lambda d, n_layers=3: {"rel_l2": 0.1, "cos": 0.995})
+    monkeypatch.setattr(bench, "bench_vl",
+                        lambda batch_sizes=(1, 4, 8): {b: VL[b]
+                                                       for b in batch_sizes})
+    monkeypatch.setattr(bench, "bench_vae",
+                        lambda d: (0.088, 0.125, 0.43, 0.27))
+    monkeypatch.setattr(bench, "bench_vision", lambda d: (0.102, 0.0314))
+    monkeypatch.setattr(bench, "bench_dinov2", lambda: 0.0318)
+    monkeypatch.setattr(
+        bench, "memory_budget",
+        lambda nb=8: {"base_gb": 14.86, "cache_item_gb": 0.074})
+    monkeypatch.setattr(bench.json, "dump", lambda *a, **k: None)  # no file
+
+    bench.main()
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["metric"] == "edits_per_min_per_chip_sweep_serving_1024px_40steps"
+    expected = bench.compose_serving(
+        {b: VL[b] for b in (1, 2, 4, 8, 16)}, 40 * 1.9, 0.0314, 0.27 / 8,
+        0.43 / 8, 14.86, 0.074)
+    best = min(c["item_s"] for c in expected.values() if c["fits"])
+    assert out["value"] == pytest.approx(round(60.0 / best, 4))
+    assert out["vs_baseline"] == pytest.approx(
+        round(out["value"] / bench.A100_EDITS_PER_MIN_FULL, 3), abs=1e-3)
+
+
 def test_headline_regression_floor():
     """The composed nb=8 throughput from the recorded round-3 stage
     measurements must clear the 3x target (0.75 edits/min/chip) — a
