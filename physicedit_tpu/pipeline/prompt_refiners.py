@@ -1,0 +1,258 @@
+"""Prompt refiners: BeautifulPrompt / QwenPrompt / Translator.
+
+Rebuilds diffsynth/prompters/prompt_refiners.py:1-130 — the one prompter
+module in the reference fork that still imports (the SD-family prompters
+reference model classes trimmed out of the fork).  Semantics mirrored:
+
+  - BeautifulPrompt (prompt_refiners.py:6-55): template chosen by whether
+    the model path ends with "v2"; sampled generation (max_new_tokens 384,
+    temperature 0.9, top_k 50, top_p 0.95, repetition_penalty 1.1); returns
+    ``raw_prompt + ", " + generation``; no-op when positive=False.
+    Backbone: BLOOM causal LM (alibaba-pai/pai-bloom-1b1-text2prompt-sd)
+    -> models/bloom.py.
+  - QwenPrompt (prompt_refiners.py:58-115): verbatim system prompt; chat
+    template; greedy max_new_tokens 512; returns the generation alone.
+    Backbone: Qwen2 instruct LM — architecturally the text decoder of
+    models/qwen_vl.py (M-RoPE with all three rows equal == 1D RoPE).
+  - Translator (prompt_refiners.py:118-130): plain ``generate`` on a
+    MarianMT opus-mt-zh-en model -> models/marian.py.
+
+TPU-native: all three decode loops are jitted ``lax.scan``s with
+fixed-shape KV slabs; prompts are right-padded to /64 buckets so each
+refiner reuses one compiled program across prompt lengths.
+
+Tokenizers are injectable (any object with the used subset of the HF
+tokenizer API) so the lane is testable without checkpoint tokenizers;
+``from_pretrained`` wires HF AutoTokenizer when the folder carries one.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BEAUTIFUL_TEMPLATE_V1 = (
+    "Instruction: Give a simple description of the image to generate a "
+    "drawing prompt.\nInput: {raw_prompt}\nOutput:")
+BEAUTIFUL_TEMPLATE_V2 = """Converts a simple image description into a prompt. \
+Prompts are formatted as multiple related tags separated by commas, plus you can use () to increase the weight, [] to decrease the weight, \
+or use a number to specify the weight. You should add appropriate words to make the images described in the prompt more aesthetically pleasing, \
+but make sure there is a correlation between the input and output.\n\
+### Input: {raw_prompt}\n### Output:"""
+
+QWEN_PROMPT_SYSTEM = """You are an English image describer. Here are some example image styles:\n\n1. Extreme close-up: Clear focus on a single object with a blurred background, highlighted under natural sunlight.\n2. Vintage: A photograph of a historical scene, using techniques such as Daguerreotype or cyanotype.\n3. Anime: A stylized cartoon image, emphasizing hyper-realistic portraits and luminous brushwork.\n4. Candid: A natural, unposed shot capturing spontaneous moments, often with cinematic qualities.\n5. Landscape: A photorealistic image of natural scenery, such as a sunrise over the sea.\n6. Design: Colorful and detailed illustrations, often in the style of 2D game art or botanical illustrations.\n7. Urban: An ultrarealistic scene in a modern setting, possibly a cityscape viewed from indoors.\n\nYour task is to translate a given Chinese image description into a concise and precise English description. Ensure that the imagery is vivid and descriptive, and include stylistic elements to enrich the description.\nPlease note the following points:\n\n1. Capture the essence and mood of the Chinese description without including direct phrases or words from the examples provided.\n2. You should add appropriate words to make the images described in the prompt more aesthetically pleasing. If the Chinese description does not specify a style, you need to add some stylistic descriptions based on the essence of the Chinese text.\n3. The generated English description should not exceed 200 words.\n\n"""
+
+
+def _bucket(n: int, step: int = 64) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+def _load_hf_folder(path: str):
+    """(config dict, state_dict) from an HF model folder.
+
+    Reads config.json plus pytorch_model*.bin / model*.safetensors shards.
+    """
+    import json
+
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = json.load(f)
+    sd = {}
+    for name in sorted(os.listdir(path)):
+        fp = os.path.join(path, name)
+        if name.endswith(".safetensors") and not name.endswith("index.json"):
+            from physicedit_tpu.io.safetensors_io import load_safetensors
+            sd.update(load_safetensors(fp))
+        elif name.startswith("pytorch_model") and name.endswith(".bin"):
+            import torch
+            sd.update(torch.load(fp, map_location="cpu",
+                                 weights_only=True))
+    if not sd:
+        raise FileNotFoundError(f"no weight shards under {path}")
+    return cfg, sd
+
+
+def _auto_tokenizer(path: str):
+    from transformers import AutoTokenizer
+    return AutoTokenizer.from_pretrained(path)
+
+
+class BeautifulPrompt:
+    """T2I prompt beautifier (prompt_refiners.py:6-55)."""
+
+    def __init__(self, params, cfg, tokenizer, template: str = ""):
+        self.params, self.cfg = params, cfg
+        self.tokenizer = tokenizer
+        self.template = template or BEAUTIFUL_TEMPLATE_V1
+
+    @classmethod
+    def from_pretrained(cls, path: str, tokenizer=None, dtype=jnp.bfloat16):
+        from physicedit_tpu.models import bloom
+
+        hf_cfg, sd = _load_hf_folder(path)
+        cfg = bloom.BloomConfig(
+            vocab_size=hf_cfg["vocab_size"],
+            hidden_size=hf_cfg.get("hidden_size", hf_cfg.get("n_embed")),
+            num_layers=hf_cfg["n_layer"], num_heads=hf_cfg["n_head"],
+            eos_token_id=hf_cfg.get("eos_token_id", 2),
+            pad_token_id=hf_cfg.get("pad_token_id") or 3,
+            eps=hf_cfg.get("layer_norm_epsilon", 1e-5))
+        params = bloom.bloom_from_torch(sd, cfg, dtype)
+        template = (BEAUTIFUL_TEMPLATE_V2 if path.rstrip("/").endswith("v2")
+                    else BEAUTIFUL_TEMPLATE_V1)
+        return cls(params, cfg, tokenizer or _auto_tokenizer(path), template)
+
+    def __call__(self, raw_prompt: str, positive: bool = True,
+                 seed: int = 0, **kwargs) -> str:
+        if not positive:
+            return raw_prompt
+        from physicedit_tpu.models import bloom
+
+        ids = self.tokenizer.encode(
+            self.template.format(raw_prompt=raw_prompt))
+        pad = _bucket(len(ids))
+        input_ids = np.full((1, pad), self.cfg.pad_token_id, np.int32)
+        mask = np.zeros((1, pad), np.int32)
+        input_ids[0, pad - len(ids):] = ids  # left-pad: generation abuts
+        mask[0, pad - len(ids):] = 1
+        toks = bloom.bloom_generate(
+            self.params, self.cfg, jnp.asarray(input_ids), jnp.asarray(mask),
+            max_new_tokens=384, do_sample=True, temperature=0.9, top_k=50,
+            top_p=0.95, repetition_penalty=1.1,
+            rng=jax.random.PRNGKey(seed))
+        out = self._decode(np.asarray(toks[0]))
+        return raw_prompt + ", " + out.strip()
+
+    def _decode(self, toks: np.ndarray) -> str:
+        keep = []
+        for t in toks.tolist():
+            if t == self.cfg.eos_token_id:
+                break
+            keep.append(t)
+        return self.tokenizer.decode(keep, skip_special_tokens=True)
+
+
+class QwenPrompt:
+    """Chinese->English prompt translator/enhancer (prompt_refiners.py:58)."""
+
+    def __init__(self, params, cfg, tokenizer,
+                 system_prompt: str = QWEN_PROMPT_SYSTEM):
+        self.params, self.cfg = params, cfg
+        self.tokenizer = tokenizer
+        self.system_prompt = system_prompt
+
+    @classmethod
+    def from_pretrained(cls, path: str, tokenizer=None, dtype=jnp.bfloat16):
+        from physicedit_tpu.io.convert import qwen_vl_text_from_torch
+        from physicedit_tpu.models.qwen_vl import QwenVLTextConfig
+
+        hf_cfg, sd = _load_hf_folder(path)
+        # Text-only Qwen2 checkpoints use model.* keys; the shared converter
+        # expects the VL remap model.language_model.* — remap here.
+        sd = {("model.language_model." + k[len("model."):]
+               if k.startswith("model.") else k): v for k, v in sd.items()}
+        if "lm_head.weight" not in sd:  # tied embeddings (Qwen2 <=1.5B)
+            sd["lm_head.weight"] = sd["model.language_model.embed_tokens.weight"]
+        cfg = QwenVLTextConfig(
+            vocab_size=hf_cfg["vocab_size"],
+            hidden_size=hf_cfg["hidden_size"],
+            num_layers=hf_cfg["num_hidden_layers"],
+            num_heads=hf_cfg["num_attention_heads"],
+            num_kv_heads=hf_cfg["num_key_value_heads"],
+            intermediate_size=hf_cfg["intermediate_size"],
+            rope_theta=hf_cfg.get("rope_theta", 1e6),
+            eps=hf_cfg.get("rms_norm_eps", 1e-6))
+        params = qwen_vl_text_from_torch(sd, dtype)
+        return cls(params, cfg, tokenizer or _auto_tokenizer(path))
+
+    def __call__(self, raw_prompt: str, positive: bool = True,
+                 max_new_tokens: int = 512, **kwargs) -> str:
+        if not positive:
+            return raw_prompt
+        from physicedit_tpu.models import qwen_vl as m
+
+        text = self.tokenizer.apply_chat_template(
+            [{"role": "system", "content": self.system_prompt},
+             {"role": "user", "content": raw_prompt}],
+            tokenize=False, add_generation_prompt=True)
+        ids = self.tokenizer.encode(text)
+        pad = _bucket(len(ids), 128)
+        embeds = np.zeros((1, pad, self.cfg.hidden_size), np.float32)
+        embeds[0, pad - len(ids):] = np.asarray(
+            m.embed_tokens(self.params, jnp.asarray(ids)), np.float32)
+        mask = np.zeros((1, pad), bool)
+        mask[0, pad - len(ids):] = True
+        pos = np.zeros((3, 1, pad), np.int32)
+        pos[:, 0, pad - len(ids):] = np.arange(len(ids))  # 1D rope x3 rows
+        logits, caches, _ = m.prefill(
+            self.params, self.cfg, jnp.asarray(embeds), jnp.asarray(pos),
+            jnp.asarray(mask), max_total_len=pad + max_new_tokens)
+        first = jnp.argmax(logits, -1).astype(jnp.int32)
+        toks, _ = m.greedy_decode(
+            self.params, self.cfg, caches, first, pad,
+            jnp.asarray([len(ids)], jnp.int32), max_new_tokens,
+            key_mask=jnp.asarray(
+                np.concatenate([mask, np.zeros((1, max_new_tokens), bool)],
+                               axis=1)))
+        out = np.concatenate([np.asarray(first)[:, None], np.asarray(toks)],
+                             axis=1)[0]
+        keep = []
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        for t in out.tolist():
+            if eos is not None and t == eos:
+                break
+            keep.append(t)
+        return self.tokenizer.decode(keep, skip_special_tokens=True).strip()
+
+
+class Translator:
+    """opus-mt zh->en translator (prompt_refiners.py:118-130)."""
+
+    def __init__(self, params, cfg, tokenizer):
+        self.params, self.cfg = params, cfg
+        self.tokenizer = tokenizer
+
+    @classmethod
+    def from_pretrained(cls, path: str, tokenizer=None, dtype=jnp.float32):
+        from physicedit_tpu.models import marian
+
+        hf_cfg, sd = _load_hf_folder(path)
+        cfg = marian.MarianConfig(
+            vocab_size=hf_cfg["vocab_size"], d_model=hf_cfg["d_model"],
+            encoder_layers=hf_cfg["encoder_layers"],
+            decoder_layers=hf_cfg["decoder_layers"],
+            num_heads=hf_cfg["encoder_attention_heads"],
+            ffn_dim=hf_cfg["encoder_ffn_dim"],
+            max_positions=hf_cfg["max_position_embeddings"],
+            scale_embedding=hf_cfg.get("scale_embedding", True),
+            activation={"swish": "swish", "silu": "swish", "gelu": "gelu",
+                        "relu": "relu"}[hf_cfg.get("activation_function",
+                                                   "swish")],
+            pad_token_id=hf_cfg["pad_token_id"],
+            eos_token_id=hf_cfg["eos_token_id"],
+            decoder_start_token_id=hf_cfg["decoder_start_token_id"])
+        params = marian.marian_from_torch(sd, cfg, dtype)
+        return cls(params, cfg, tokenizer or _auto_tokenizer(path))
+
+    def __call__(self, prompt: str, max_new_tokens: int = 512,
+                 **kwargs) -> str:
+        from physicedit_tpu.models import marian
+
+        ids = self.tokenizer.encode(prompt)
+        pad = _bucket(len(ids))
+        input_ids = np.full((1, pad), self.cfg.pad_token_id, np.int32)
+        mask = np.zeros((1, pad), np.int32)
+        input_ids[0, :len(ids)] = ids  # encoder: right-pad (masked)
+        mask[0, :len(ids)] = 1
+        toks = marian.marian_greedy_generate(
+            self.params, self.cfg, jnp.asarray(input_ids), jnp.asarray(mask),
+            max_new_tokens=max_new_tokens)
+        out = np.asarray(toks[0])
+        keep = []
+        for t in out.tolist():
+            if t == self.cfg.eos_token_id:
+                break
+            keep.append(t)
+        return self.tokenizer.decode(keep, skip_special_tokens=True).strip()
