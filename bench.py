@@ -20,9 +20,11 @@ timed call ends in a value fetch (block_until_ready returns early on
 queued dispatch chains).
 
 vs_baseline compares against the analytic A100 reference estimate
-including its VLM stage (BASELINE.md: no published numbers exist; the
-A100 runs the same 80 DiT forwards + reasoner in bf16 at 45% MFU on 312
-TFLOPS -> ~0.25 edits/min).
+including its VLM stage (BASELINE.md "The A100 denominator, derived":
+13.5 PFLOP/edit on the honest per-stream inventory at ~21% end-to-end
+MFU for the eager-torch batch-1 stack, + the 9.6 s memory-bound
+reasoner/conditioning floor -> 0.25 edits/min, with a 15-45% MFU
+sensitivity table on paper).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -46,11 +48,16 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+_T0 = time.monotonic()
+
+
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[{time.monotonic() - _T0:6.1f}s]", *a, file=sys.stderr,
+          flush=True)
 
 
-# Analytic A100 reference (BASELINE.md): DiT-only and reasoner-inclusive.
+# Analytic A100 reference — full derivation + MFU sensitivity table in
+# BASELINE.md "The A100 denominator, derived (auditable)".
 A100_EDITS_PER_MIN_DIT_ONLY = 0.26
 A100_EDITS_PER_MIN_FULL = 0.25
 
@@ -499,13 +506,42 @@ def compose_serving(vl, denoise_s, vis_item_s, enc_item_s, dec_item_s,
     return out
 
 
-def main():
+def _write_detail(detail, out_path):
+    """Single write seam for the committed measurement artifact — tests
+    point ``out_path`` at a tmp file instead of stubbing json internals
+    (round 3 truncated the real BENCH_DETAIL.json through such a stub)."""
+    with open(out_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
+
+def main(out_path=None, budget_s=None):
+    """Headline-first bench run.
+
+    The driver enforces a wall-clock limit on ``python bench.py`` and
+    records stdout's single JSON line; round 3 timed out (rc=124) because
+    the line was printed only after every long sweep.  Order now:
+
+      1. critical path (memory budget, 60-block denoise step, VL B<=8,
+         VAE, vision) -> compose -> write detail -> PRINT HEADLINE;
+      2. extras (VL B=16 ladder, bf16 differencing, quant delta, DINOv2)
+         each gated on the remaining ``PHYSICEDIT_BENCH_BUDGET_S`` budget
+         (default 420 s from process start, sized to the driver timeout
+         with a warm .jax_cache), rewriting the detail file as they land.
+    """
     from physicedit_tpu.ops.attention import default_impl
     from tools.measure_dit60 import measure_dit60
 
+    t_start = time.monotonic()
+    if budget_s is None:
+        budget_s = float(os.environ.get("PHYSICEDIT_BENCH_BUDGET_S", "420"))
+    if out_path is None:
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_DETAIL.json")
+
     platform = jax.devices()[0].platform
     dtype = jnp.bfloat16
-    log(f"platform={platform} attn_impl={default_impl()}")
+    log(f"platform={platform} attn_impl={default_impl()} "
+        f"budget={budget_s:.0f}s")
 
     if platform == "cpu":
         # hermetic fallback (driver always runs on TPU): tiny proxy numbers
@@ -526,31 +562,23 @@ def main():
     detail["dit60_step_s"] = step_s
     detail["denoise_s"] = denoise_s
 
-    # ---- 2. bf16 per-block (parity mode, extrapolated) ------------------
-    bf16_block_s = bench_dit_bf16_per_block(dtype)
-    bf16_step_s = NUM_BLOCKS * bf16_block_s
-    detail["bf16_block_s"] = bf16_block_s
-
-    # ---- 2b. int4-vs-bf16 output delta (random-weight quality bound) ----
-    detail["quant_delta"] = bench_quant_delta(dtype)
-
-    # ---- 3. VL conditioning (packed int4, co-resident budget) -----------
+    # ---- 2. VL conditioning (packed int4, co-resident budget) -----------
     # B=1: single edit; B=2: the prefill chunk size (reason_physical_batch
     # prefills 2 rows at a time — memory_budget); B=4: the prompt-encode
-    # chunk; B=8/16: sweep-serving decode batches.
-    vl = bench_vl(batch_sizes=(1, 2, 4, 8, 16))
+    # chunk; B=8: the sweep-serving decode batch.  The informational B=16
+    # ladder point runs AFTER the headline (it cannot compose — 16 int8-KV
+    # cache items exceed single-chip HBM, compose_serving's fits gate).
+    vl = bench_vl(batch_sizes=(1, 2, 4, 8))
     prefill_s, per_tok = vl[1]
     detail["vl"] = {str(b): {"prefill_s": p, "decode_s_per_tok_total": t}
                     for b, (p, t) in vl.items()}
 
-    # ---- 4. VAE + vision tower + DINOv2 ---------------------------------
+    # ---- 3. VAE + vision tower ------------------------------------------
     enc_s, dec_s, dec8_s, enc8_s = bench_vae(dtype)
     vis_s, vis8_s = bench_vision(dtype)
-    dino_s = bench_dinov2()
     detail.update(vae_encode_s=enc_s, vae_decode_s=dec_s,
                   vae_decode_b8_s=dec8_s, vae_encode_b8_s=enc8_s,
-                  vision_s=vis_s, vision_batched_item_s=vis8_s,
-                  dinov2_s=dino_s)
+                  vision_s=vis_s, vision_batched_item_s=vis8_s)
 
     # ---- Compose: single-edit latency (validate.py path) ----------------
     # reference edit = vision tower (features shared by reasoner + both
@@ -565,12 +593,10 @@ def main():
     edit_s = single["edit_s"]
     edit_typ_s = single["edit_typical_s"]
     edits_per_min = 60.0 / edit_s
-    bf16_edit_s = reasoner_s + cond_s + NUM_STEPS * bf16_step_s + dec_s
     detail.update(reasoner_s=reasoner_s, reasoner_typical_s=reasoner_typ_s,
                   cond_s=cond_s, edit_s=edit_s,
                   edits_per_min_single=edits_per_min,
-                  edits_per_min_single_typical=60 / edit_typ_s,
-                  bf16_edit_s=bf16_edit_s)
+                  edits_per_min_single_typical=60 / edit_typ_s)
 
     log("---- stage breakdown (seconds/edit, single-edit latency) ----")
     log(f"  denoise 40x60 W4A8 (measured): {denoise_s:.1f}")
@@ -580,8 +606,6 @@ def main():
     log(f"  VAE decode:                    {dec_s:.2f}")
     log(f"  TOTAL: {edit_s:.1f}s -> {edits_per_min:.3f} edits/min/chip "
         f"(typical-reasoner: {60/edit_typ_s:.3f})")
-    log(f"  [bf16 parity mode, per-block extrapolated: {bf16_edit_s:.1f}s "
-        f"-> {60/bf16_edit_s:.3f} edits/min/chip]")
 
     # ---- Compose: sweep serving (BASELINE config #5 = the reference's
     # own benchmark mode, a PICA/KRIS sweep).  The composition math lives
@@ -611,9 +635,7 @@ def main():
         best_nb, serving_epm = 1, edits_per_min
         detail.update(serving_best_batch=1, serving_edits_per_min=serving_epm)
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
-        json.dump(detail, f, indent=1)
+    _write_detail(detail, out_path)
 
     # Headline: steady-state sweep-serving throughput — the apples-to-
     # apples number for the reference's own eval workload (a PICABench /
@@ -625,7 +647,62 @@ def main():
         "unit": "edits/min/chip",
         "vs_baseline": round(serving_epm / A100_EDITS_PER_MIN_FULL, 3),
     }))
+    sys.stdout.flush()
+
+    # ---- extras (AFTER the headline; each gated on the remaining wall-
+    # clock budget so the process exits cleanly inside the driver limit) --
+    def remaining():
+        return budget_s - (time.monotonic() - t_start)
+
+    def gate(name, estimate_s):
+        if remaining() < estimate_s:
+            log(f"[budget] skipping {name}: {remaining():.0f}s left "
+                f"< {estimate_s:.0f}s estimate")
+            return False
+        return True
+
+    if gate("vl B=16 ladder", 120):
+        vl16 = bench_vl(batch_sizes=(16,))
+        vl.update(vl16)
+        detail["vl"].update(
+            {str(b): {"prefill_s": p, "decode_s_per_tok_total": t}
+             for b, (p, t) in vl16.items()})
+        for nb, c in compose_serving(vl, denoise_s, vis8_s, enc8_s / 8,
+                                     dec8_s / 8, mem["base_gb"],
+                                     mem["cache_item_gb"]).items():
+            log(f"  [sweep serving, {nb} items/batch: {c['item_s']:.2f}s/item"
+                f"{'' if c['fits'] else ' — EXCEEDS single-chip HBM'}]")
+        _write_detail(detail, out_path)
+
+    if gate("bf16 per-block differencing", 100):
+        detail["bf16_block_s"] = bench_dit_bf16_per_block(dtype)
+        detail["bf16_edit_s"] = (reasoner_s + cond_s + dec_s
+                                 + NUM_STEPS * NUM_BLOCKS
+                                 * detail["bf16_block_s"])
+        log(f"  [bf16 parity mode, per-block extrapolated: "
+            f"{detail['bf16_edit_s']:.1f}s -> "
+            f"{60/detail['bf16_edit_s']:.3f} edits/min/chip]")
+        _write_detail(detail, out_path)
+
+    if gate("quant delta", 60):
+        detail["quant_delta"] = bench_quant_delta(dtype)
+        _write_detail(detail, out_path)
+
+    if gate("dinov2", 30):
+        detail["dinov2_s"] = bench_dinov2()
+        _write_detail(detail, out_path)
+
+    log(f"bench complete in {time.monotonic() - t_start:.0f}s "
+        f"(budget {budget_s:.0f}s)")
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="detail artifact path (default: repo BENCH_DETAIL.json)")
+    ap.add_argument("--budget", type=float, default=None,
+                    help="wall-clock budget seconds (default: "
+                         "$PHYSICEDIT_BENCH_BUDGET_S or 420)")
+    a = ap.parse_args()
+    main(out_path=a.out, budget_s=a.budget)

@@ -40,8 +40,11 @@ def baseline_body(d: dict) -> str:
          f"**{d['dit60_step_s']:.3f} s** "
          f"({d['dit60_step_s'] / d['blocks'] * 1e3:.2f} ms/block)"),
         (f"{d['steps']}-step denoise", f"{d['denoise_s']:.1f} s"),
-        ("DiT block, bf16 (multi-chip parity mode, differenced)",
-         ms(d["bf16_block_s"])),
+    ]
+    if "bf16_block_s" in d:   # budget-gated extra (bench.py main docstring)
+        rows.append(("DiT block, bf16 (multi-chip parity mode, differenced)",
+                     ms(d["bf16_block_s"])))
+    rows += [
         ("Qwen2.5-VL-7B prefill S=1536 (Pallas GQA causal flash)",
          " / ".join(f"B={b}: {ms(v['prefill_s'])}"
                     for b, v in sorted(vl.items(), key=lambda kv: int(kv[0])))),
@@ -56,8 +59,10 @@ def baseline_body(d: dict) -> str:
          f"({ms(d['vae_decode_b8_s'] / 8)}/item)"),
         ("Vision tower 392² (one per edit, shared 3 ways)",
          ms(d["vision_s"])),
-        ("DINOv2-base 512² features (config #1)", ms(d["dinov2_s"])),
     ]
+    if "dinov2_s" in d:       # budget-gated extra
+        rows.append(("DINOv2-base 512² features (config #1)",
+                     ms(d["dinov2_s"])))
     if "quant_delta" in d:
         qd = d["quant_delta"]
         rows.append(
