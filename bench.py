@@ -372,10 +372,12 @@ def bench_vl(cfg_name="w4", batch_sizes=(1, 4, 8)):
             return time.perf_counter() - t0, logits, caches
 
         prefill_once(0)                  # compile
-        # min over several calls: the tunnelled link adds 100s-of-ms jitter
-        # (observed 346-811 ms for the same program across runs)
+        # min over several calls: the tunnelled link adds jitter from
+        # 100s-of-ms to multi-second stalls; the single-edit (B=1) and
+        # serving-decode (B=8+) numbers get the larger sample
+        n_meas = 8 if b in (1, 8, 16) else 4
         prefill_s, logits, caches = prefill_once(1)
-        for i in range(2, 9):
+        for i in range(2, n_meas + 1):
             t, logits, caches = prefill_once(i)
             prefill_s = min(prefill_s, t)
         log(f"vl prefill B={b} S={s}: {prefill_s*1e3:.0f} ms")
@@ -394,8 +396,9 @@ def bench_vl(cfg_name="w4", batch_sizes=(1, 4, 8)):
             return time.perf_counter() - t0
 
         decode_once(first)               # compile
+        dec_reps = (1, 2, 3, 4) if b in (1, 8, 16) else (1, 2, 3)
         per_tok = min(decode_once((first + i) % 1000)
-                      for i in (1, 2, 3, 4)) / n_dec
+                      for i in dec_reps) / n_dec
         log(f"vl decode B={b}: {per_tok*1e3:.1f} ms/token total "
             f"({per_tok/b*1e3:.2f} ms/token/item, {cfg_name})")
         results[b] = (prefill_s, per_tok)
@@ -564,11 +567,13 @@ def main(out_path=None, budget_s=None):
 
     # ---- 2. VL conditioning (packed int4, co-resident budget) -----------
     # B=1: single edit; B=2: the prefill chunk size (reason_physical_batch
-    # prefills 2 rows at a time — memory_budget); B=4: the prompt-encode
-    # chunk; B=8: the sweep-serving decode batch.  The informational B=16
-    # ladder point runs AFTER the headline (it cannot compose — 16 int8-KV
-    # cache items exceed single-chip HBM, compose_serving's fits gate).
-    vl = bench_vl(batch_sizes=(1, 2, 4, 8))
+    # prefills 2 rows at a time — memory_budget); B=8: the sweep-serving
+    # decode batch.  B=4 (the prompt-encode chunk) and the informational
+    # B=16 ladder point run AFTER the headline — compose_serving uses its
+    # documented, slightly-conservative 2x-B=2 fallback for the B=4
+    # prefill until then, and B=16 cannot compose anyway (16 int8-KV cache
+    # items exceed single-chip HBM, the fits gate).
+    vl = bench_vl(batch_sizes=(1, 2, 8))
     prefill_s, per_tok = vl[1]
     detail["vl"] = {str(b): {"prefill_s": p, "decode_s_per_tok_total": t}
                     for b, (p, t) in vl.items()}
@@ -661,12 +666,15 @@ def main(out_path=None, budget_s=None):
             return False
         return True
 
-    if gate("vl B=16 ladder", 120):
-        vl16 = bench_vl(batch_sizes=(16,))
-        vl.update(vl16)
+    # Gate estimates are COLD-compile-conservative (a cold VL prefill
+    # compile alone is ~2-3 min on this 1-core host); with a warm
+    # .jax_cache the extras finish far faster than the estimates.
+    if gate("vl B=4/16 ladder", 420):
+        vl_extra = bench_vl(batch_sizes=(4, 16))
+        vl.update(vl_extra)
         detail["vl"].update(
             {str(b): {"prefill_s": p, "decode_s_per_tok_total": t}
-             for b, (p, t) in vl16.items()})
+             for b, (p, t) in vl_extra.items()})
         for nb, c in compose_serving(vl, denoise_s, vis8_s, enc8_s / 8,
                                      dec8_s / 8, mem["base_gb"],
                                      mem["cache_item_gb"]).items():
@@ -674,7 +682,7 @@ def main(out_path=None, budget_s=None):
                 f"{'' if c['fits'] else ' — EXCEEDS single-chip HBM'}]")
         _write_detail(detail, out_path)
 
-    if gate("bf16 per-block differencing", 100):
+    if gate("bf16 per-block differencing", 300):
         detail["bf16_block_s"] = bench_dit_bf16_per_block(dtype)
         detail["bf16_edit_s"] = (reasoner_s + cond_s + dec_s
                                  + NUM_STEPS * NUM_BLOCKS
@@ -684,11 +692,11 @@ def main(out_path=None, budget_s=None):
             f"{60/detail['bf16_edit_s']:.3f} edits/min/chip]")
         _write_detail(detail, out_path)
 
-    if gate("quant delta", 60):
+    if gate("quant delta", 120):
         detail["quant_delta"] = bench_quant_delta(dtype)
         _write_detail(detail, out_path)
 
-    if gate("dinov2", 30):
+    if gate("dinov2", 60):
         detail["dinov2_s"] = bench_dinov2()
         _write_detail(detail, out_path)
 
