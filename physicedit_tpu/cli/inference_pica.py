@@ -16,7 +16,7 @@ import argparse
 
 def main(argv=None):
     from physicedit_tpu.cli.serving import (add_serving_args, build_pipeline,
-                                            make_prompt_rewriter)
+                                            make_prompt_preprocessor)
     from physicedit_tpu.eval.sweep import run_pica_sweep
 
     p = argparse.ArgumentParser()
@@ -39,7 +39,7 @@ def main(argv=None):
                    start_idx=args.start_idx, end_idx=args.end_idx,
                    seed=args.seed, num_inference_steps=args.num_inference_steps,
                    local_dataset_path=args.local_dataset_path,
-                   prompt_rewriter=make_prompt_rewriter(args.prompt_rewriter_cmd),
+                   prompt_rewriter=make_prompt_preprocessor(args),
                    batch_size=args.batch_size)
 
 

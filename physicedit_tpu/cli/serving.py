@@ -41,6 +41,12 @@ def add_serving_args(p: argparse.ArgumentParser,
                             "writes the rewritten prompt to stdout (the "
                             "injectable replacement for the reference's "
                             "GPT-4o-mini rewriter, inference_pica.py:29-122)")
+        g.add_argument("--prompt_refiner", type=str, default=None,
+                       help="kind:/model/path in-process prompt refiner "
+                            "(kind: beautiful | qwen | translate — the "
+                            "reference's BeautifulPrompt / QwenPrompt / "
+                            "Translator, prompt_refiners.py:6-130); runs "
+                            "before --prompt_rewriter_cmd")
 
 
 def make_prompt_rewriter(cmd: str | None):
@@ -74,6 +80,30 @@ def make_prompt_rewriter(cmd: str | None):
         return out
 
     return rewrite
+
+
+def make_prompt_preprocessor(args):
+    """Compose --prompt_refiner (in-process model) with
+    --prompt_rewriter_cmd (external executable) into one prompt -> prompt
+    callable for eval/sweep.py's ``prompt_rewriter`` seam; None if neither
+    flag was given."""
+    from physicedit_tpu.pipeline.prompt_refiners import make_prompt_refiner
+
+    stages = [f for f in (make_prompt_refiner(
+        getattr(args, "prompt_refiner", None)),
+        make_prompt_rewriter(getattr(args, "prompt_rewriter_cmd", None)))
+        if f is not None]
+    if not stages:
+        return None
+    if len(stages) == 1:
+        return stages[0]
+
+    def chain(prompt: str) -> str:
+        for f in stages:
+            prompt = f(prompt)
+        return prompt
+
+    return chain
 
 
 def build_pipeline(args) -> "object":

@@ -70,7 +70,8 @@ def _gelu_tanh(x):
 
 
 def _attention(p, cfg: BloomConfig, x, alibi, bias, kv=None, pos=None):
-    """x: [B,S,D]. alibi: [H, 1, Smax] (slope * key position, mask-aware).
+    """x: [B,S,D]. alibi: [B, H, 1, Smax] (slope * per-row mask-aware
+    key position).
 
     Without kv: full (prefill/teacher-forced) pass over S keys.
     With kv ({k,v}: [B,Smax,H,Hd]) and pos: single-token decode step.
@@ -84,7 +85,7 @@ def _attention(p, cfg: BloomConfig, x, alibi, bias, kv=None, pos=None):
         v = jax.lax.dynamic_update_slice_in_dim(kv["v"], v, pos, axis=1)
     sk = k.shape[1]
     scores = jnp.einsum("bqnd,bknd->bnqk", q, k).astype(jnp.float32)
-    scores = scores * (hd ** -0.5) + alibi[None, :, :, :sk] + bias
+    scores = scores * (hd ** -0.5) + alibi[:, :, :, :sk] + bias
     a = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     out = jnp.einsum("bnqk,bknd->bqnd", a, v).reshape(b, s, d)
     out = linear(p["dense"], out)
@@ -106,13 +107,13 @@ def _block(p, cfg: BloomConfig, x, alibi, bias, kv=None, pos=None):
 
 
 def _alibi_bias(params, cfg: BloomConfig, attn_mask):
-    """[H,1,S] slope*position table using HF's mask-aware positions."""
+    """[B,H,1,S] slope*position table using HF's mask-aware positions
+    (build_alibi_tensor: per-ROW cumulative positions, so batched calls
+    with different per-row prompt lengths bias correctly)."""
     slopes = params["alibi_slopes"]  # [H]
     pos = (jnp.cumsum(attn_mask, -1) - 1) * attn_mask  # [B,S]
-    # HF folds batch into heads; we keep [B?]==1 cases simple by requiring
-    # the caller to pass per-batch alibi when masks differ.  For the refiner
-    # lane all prompts in a call share one mask row, so use row 0.
-    return slopes[:, None, None] * pos[0][None, None, :].astype(jnp.float32)
+    return (slopes[None, :, None, None]
+            * pos[:, None, None, :].astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -200,7 +201,7 @@ def bloom_generate(params, cfg: BloomConfig, input_ids, attn_mask,
         qkv = linear(lp["qkv"], h).reshape(b, s0, n, 3, hd)
         q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
         scores = jnp.einsum("bqnd,bknd->bnqk", q, k).astype(jnp.float32)
-        scores = scores * (hd ** -0.5) + alibi[None, :, :, :s0] + bias0
+        scores = scores * (hd ** -0.5) + alibi[:, :, :, :s0] + bias0
         a = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         out = jnp.einsum("bnqk,bknd->bqnd", a, v).reshape(b, s0, -1)
         x = x + linear(lp["dense"], out)

@@ -50,6 +50,43 @@ def _bucket(n: int, step: int = 64) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
+def _even_mrope_sections(half: int) -> tuple:
+    """A 3-way split of head_dim/2 for text-only decode (all three M-RoPE
+    position rows are equal, so the split is numerically irrelevant — it
+    only has to sum to head_dim/2 for mrope_cos_sin's concat)."""
+    third = half // 3
+    return (half - 2 * third, third, third)
+
+
+def qwen_text_cfg_from_hf(hf_cfg: dict):
+    """QwenVLTextConfig from a text-only Qwen2/Qwen2.5 HF config dict.
+
+    Forwards head_dim (Qwen2-0.5B has head_dim 64 != hidden/heads default
+    128), eos_token_id (possibly a list in generation configs), and picks a
+    shape-valid mrope_section for the checkpoint's head_dim."""
+    from physicedit_tpu.models.qwen_vl import QwenVLTextConfig
+
+    hidden = hf_cfg["hidden_size"]
+    heads = hf_cfg["num_attention_heads"]
+    head_dim = hf_cfg.get("head_dim") or hidden // heads
+    eos = hf_cfg.get("eos_token_id", 151645)
+    rope_scaling = hf_cfg.get("rope_scaling") or {}
+    sections = rope_scaling.get("mrope_section")
+    return QwenVLTextConfig(
+        vocab_size=hf_cfg["vocab_size"],
+        hidden_size=hidden,
+        num_layers=hf_cfg["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=hf_cfg["num_key_value_heads"],
+        head_dim=head_dim,
+        intermediate_size=hf_cfg["intermediate_size"],
+        rope_theta=hf_cfg.get("rope_theta", 1e6),
+        eps=hf_cfg.get("rms_norm_eps", 1e-6),
+        mrope_section=tuple(sections) if sections
+        else _even_mrope_sections(head_dim // 2),
+        eos_token_id=eos[0] if isinstance(eos, list) else eos)
+
+
 def _load_hf_folder(path: str):
     """(config dict, state_dict) from an HF model folder.
 
@@ -146,7 +183,6 @@ class QwenPrompt:
     @classmethod
     def from_pretrained(cls, path: str, tokenizer=None, dtype=jnp.bfloat16):
         from physicedit_tpu.io.convert import qwen_vl_text_from_torch
-        from physicedit_tpu.models.qwen_vl import QwenVLTextConfig
 
         hf_cfg, sd = _load_hf_folder(path)
         # Text-only Qwen2 checkpoints use model.* keys; the shared converter
@@ -155,17 +191,9 @@ class QwenPrompt:
                if k.startswith("model.") else k): v for k, v in sd.items()}
         if "lm_head.weight" not in sd:  # tied embeddings (Qwen2 <=1.5B)
             sd["lm_head.weight"] = sd["model.language_model.embed_tokens.weight"]
-        cfg = QwenVLTextConfig(
-            vocab_size=hf_cfg["vocab_size"],
-            hidden_size=hf_cfg["hidden_size"],
-            num_layers=hf_cfg["num_hidden_layers"],
-            num_heads=hf_cfg["num_attention_heads"],
-            num_kv_heads=hf_cfg["num_key_value_heads"],
-            intermediate_size=hf_cfg["intermediate_size"],
-            rope_theta=hf_cfg.get("rope_theta", 1e6),
-            eps=hf_cfg.get("rms_norm_eps", 1e-6))
         params = qwen_vl_text_from_torch(sd, dtype)
-        return cls(params, cfg, tokenizer or _auto_tokenizer(path))
+        return cls(params, qwen_text_cfg_from_hf(hf_cfg),
+                   tokenizer or _auto_tokenizer(path))
 
     def __call__(self, raw_prompt: str, positive: bool = True,
                  max_new_tokens: int = 512, **kwargs) -> str:
@@ -190,18 +218,19 @@ class QwenPrompt:
             self.params, self.cfg, jnp.asarray(embeds), jnp.asarray(pos),
             jnp.asarray(mask), max_total_len=pad + max_new_tokens)
         first = jnp.argmax(logits, -1).astype(jnp.int32)
+        # greedy_decode already emits first_token at output position 0
+        # (same call-site pattern as edit_pipeline.reason_physical)
         toks, _ = m.greedy_decode(
             self.params, self.cfg, caches, first, pad,
             jnp.asarray([len(ids)], jnp.int32), max_new_tokens,
             key_mask=jnp.asarray(
                 np.concatenate([mask, np.zeros((1, max_new_tokens), bool)],
                                axis=1)))
-        out = np.concatenate([np.asarray(first)[:, None], np.asarray(toks)],
-                             axis=1)[0]
+        out = np.asarray(toks)[0]
         keep = []
-        eos = getattr(self.tokenizer, "eos_token_id", None)
+        eos = self.cfg.eos_token_id
         for t in out.tolist():
-            if eos is not None and t == eos:
+            if t == eos:
                 break
             keep.append(t)
         return self.tokenizer.decode(keep, skip_special_tokens=True).strip()
@@ -256,3 +285,27 @@ class Translator:
                 break
             keep.append(t)
         return self.tokenizer.decode(keep, skip_special_tokens=True).strip()
+
+
+REFINER_KINDS = {"beautiful": BeautifulPrompt, "qwen": QwenPrompt,
+                 "translate": Translator}
+
+
+def make_prompt_refiner(spec: str | None):
+    """``kind:/model/path`` -> callable(prompt) -> prompt, or None.
+
+    The CLI-facing factory (cli/serving.py --prompt_refiner): kind selects
+    the refiner class (``beautiful`` / ``qwen`` / ``translate``, mirroring
+    the reference's BeautifulPrompt / QwenPrompt / Translator registry,
+    prompt_refiners.py:6-130), path is the HF model folder.  Composes with
+    --prompt_rewriter_cmd the same way the reference chains
+    translater -> beautify -> rewrite."""
+    if not spec:
+        return None
+    kind, sep, path = spec.partition(":")
+    if not sep or kind not in REFINER_KINDS:
+        raise ValueError(
+            f"--prompt_refiner expects kind:path with kind in "
+            f"{sorted(REFINER_KINDS)}; got {spec!r}")
+    refiner = REFINER_KINDS[kind].from_pretrained(path)
+    return lambda prompt: refiner(prompt)
