@@ -36,7 +36,7 @@ def test_sharded_pipeline_matches_single_device():
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_vl_text_specs_cover_tree():
     from physicedit_tpu.models import qwen_vl as m_text
-    from tests.test_pipeline_e2e import _rand_text_params
+    from physicedit_tpu.pipeline.testing import _rand_text_params
 
     params = _rand_text_params(jax.random.PRNGKey(0), m_text.TINY_TEXT)
     specs = sh.qwen_vl_text_param_specs(params)
