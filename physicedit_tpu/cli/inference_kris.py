@@ -31,7 +31,8 @@ def main(argv=None):
                    end_idx=args.end_idx, seed=args.seed,
                    num_inference_steps=args.num_inference_steps,
                    local_dataset_path=args.local_dataset_path,
-                   batch_size=args.batch_size)
+                   batch_size=args.batch_size,
+                   cfg_truncate_step=args.cfg_truncate_step)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,12 @@ def add_serving_args(p: argparse.ArgumentParser,
                         "mutually exclusive with --quantize)")
     g.add_argument("--attn_impl", type=str, default=None,
                    choices=["xla", "pallas"])
+    g.add_argument("--cfg_truncate_step", type=int, default=None,
+                   help="OPT-IN accelerator (changes outputs vs the "
+                        "reference workload): run CFG only for the first "
+                        "K steps, positives-only after (late steps cost "
+                        "~half; standard CFG-interval practice). Default "
+                        "off = reference-exact CFG at every step")
     if with_rewriter:
         g.add_argument("--prompt_rewriter_cmd", type=str, default=None,
                        help="Executable that reads a prompt on stdin and "

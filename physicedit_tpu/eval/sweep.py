@@ -44,11 +44,14 @@ class BucketBatcher:
     """
 
     def __init__(self, pipe, batch_size: int, seed: int,
-                 num_inference_steps: int):
+                 num_inference_steps: int, pipe_kwargs: dict | None = None):
         self.pipe = pipe
         self.batch_size = batch_size
         self.seed = seed
         self.steps = num_inference_steps
+        # Extra kwargs forwarded to every pipe call (e.g. the opt-in
+        # cfg_truncate_step serving accelerator)
+        self.pipe_kwargs = dict(pipe_kwargs or {})
         self.buckets: dict = {}
 
     def add(self, prompt, image, out_path, on_done):
@@ -66,13 +69,13 @@ class BucketBatcher:
             prompt, image, out_path, on_done = items[0]
             out = self.pipe(prompt, edit_image=image, seed=self.seed,
                             num_inference_steps=self.steps, height=h, width=w,
-                            edit_image_auto_resize=False)
+                            edit_image_auto_resize=False, **self.pipe_kwargs)
             on_done(out, out_path)
             return
         outs = self.pipe.edit_batch(
             [p for p, _, _, _ in items], [im for _, im, _, _ in items],
             height=h, width=w, seeds=[self.seed] * len(items),
-            num_inference_steps=self.steps)
+            num_inference_steps=self.steps, **self.pipe_kwargs)
         for out, (_, _, out_path, on_done) in zip(outs, items):
             on_done(out, out_path)
 
@@ -88,7 +91,8 @@ def run_pica_sweep(pipe, output_dir: str, prompt_type: str = "intermediate",
                    native_resolution: bool = True,
                    skip_existing: bool = True,
                    prompt_rewriter=None,
-                   batch_size: int = 1):
+                   batch_size: int = 1,
+                   cfg_truncate_step: int | None = None):
     """prompt_rewriter: optional callable prompt -> prompt, the injectable
     replacement for the reference's GPT-4o-mini rewriter
     (inference_pica.py:29-122; external API kept out of the framework).
@@ -104,7 +108,9 @@ def run_pica_sweep(pipe, output_dir: str, prompt_type: str = "intermediate",
         out.save(out_path)
         print(f"[PICA] -> {out_path}", flush=True)
 
-    batcher = BucketBatcher(pipe, batch_size, seed, num_inference_steps)
+    batcher = BucketBatcher(pipe, batch_size, seed, num_inference_steps,
+                            pipe_kwargs={"cfg_truncate_step":
+                                         cfg_truncate_step})
     for idx in range(start_idx, end_idx):
         out_path = os.path.join(output_dir, f"{idx:05d}.jpg")
         if skip_existing and os.path.exists(out_path):
@@ -131,7 +137,8 @@ def run_kris_sweep(pipe, output_dir: str, start_idx: int = 0,
                    num_inference_steps: int = 40,
                    local_dataset_path: str | None = None,
                    skip_existing: bool = True,
-                   batch_size: int = 1):
+                   batch_size: int = 1,
+                   cfg_truncate_step: int | None = None):
     ds = _load_hf_dataset("Liang0223/KRIS_Bench", local_path=local_dataset_path)
     os.makedirs(output_dir, exist_ok=True)
     end_idx = len(ds) if end_idx is None else min(end_idx, len(ds))
@@ -140,7 +147,9 @@ def run_kris_sweep(pipe, output_dir: str, start_idx: int = 0,
         out.save(out_path)
         print(f"[KRIS] -> {out_path}", flush=True)
 
-    batcher = BucketBatcher(pipe, batch_size, seed, num_inference_steps)
+    batcher = BucketBatcher(pipe, batch_size, seed, num_inference_steps,
+                            pipe_kwargs={"cfg_truncate_step":
+                                         cfg_truncate_step})
     for idx in range(start_idx, end_idx):
         rec = ds[idx]
         category = rec.get("category", "default")

@@ -651,6 +651,7 @@ class PhysicEditPipeline:
 
     def __call__(self, prompt: str, negative_prompt: str = "",
                  edit_image=None, cfg_scale: float = 4.0,
+                 cfg_truncate_step: int | None = None,
                  inpaint_mask=None, inpaint_blur_size: int | None = None,
                  inpaint_blur_sigma: float | None = None,
                  height: int = 1328, width: int = 1328, seed: int | None = None,
@@ -922,7 +923,8 @@ class PhysicEditPipeline:
             lora=self.dit_lora, attn_bias=attn_bias,
             inpaint_mask=inpaint_mask_lat, input_latents=input_latents,
             control_blocks=ctl_blocks, control_cond=ctl_cond,
-            control_scales=ctl_scales, attn_clamp=self.attn_clamp)
+            control_scales=ctl_scales, attn_clamp=self.attn_clamp,
+            cfg_truncate_after=cfg_truncate_step)
 
         return self.decode_image(latents)
 
@@ -932,6 +934,7 @@ class PhysicEditPipeline:
 
     def edit_batch(self, prompts: list, edit_images: list,
                    negative_prompt: str = "", cfg_scale: float = 4.0,
+                   cfg_truncate_step: int | None = None,
                    height: int = 1024, width: int = 1024,
                    seeds: list | None = None, num_inference_steps: int = 40,
                    have_text_reasoning: bool = True,
@@ -1059,7 +1062,8 @@ class PhysicEditPipeline:
             latent_hw=(lat_h, lat_w),
             adapter_params=adapter_params, special_idx=special_idx,
             t_min=self.t_min, t_max=self.t_max, attn_impl=self.attn_impl,
-            lora=self.dit_lora, attn_clamp=self.attn_clamp)
+            lora=self.dit_lora, attn_clamp=self.attn_clamp,
+            cfg_truncate_after=cfg_truncate_step)
         return self.decode_images(latents)
 
 

@@ -40,7 +40,7 @@ def _rewrite_special_tokens(adapter_params, prompt_emb, special_idx, timestep,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "attn_impl", "t_min", "t_max", "latent_hw",
-                     "slim_last", "attn_clamp"),
+                     "slim_last", "attn_clamp", "cfg_truncate_after"),
 )
 def denoise(
     dit_params,
@@ -68,6 +68,12 @@ def denoise(
     slim_last: bool = True,  # last DiT block computes only the base rows
     attn_clamp: bool = True,  # overflow clamp in the fixed-max kernel
                               # (models/dit.attn_clamp_needed at load time)
+    cfg_truncate_after: int | None = None,
+    # Opt-in serving accelerator (NOT the reference workload, which runs
+    # CFG 4.0 for all steps): steps [0, k) run the full CFG batch, steps
+    # [k, T) run the POSITIVE rows only (the negative branch contributes
+    # little at low sigma; standard CFG-interval practice).  Each late
+    # step costs ~half.  None / k >= T disables (default).
 ):
     """Run the full denoise schedule; returns final latents [N, h, w, 16].
 
@@ -84,59 +90,86 @@ def denoise(
     use_control = control_blocks is not None
     scales = control_scales if use_control else sigmas  # placeholder xs
 
-    def step(carry, inputs):
-        latents, prompt_emb = carry
-        sigma, sigma_next, timestep, ctl_scale = inputs
+    def make_step(batch_l, reps_l, txt_mask_l, special_idx_l, attn_bias_l,
+                  control_cond_l):
+        def step(carry, inputs):
+            latents, prompt_emb = carry
+            sigma, sigma_next, timestep, ctl_scale = inputs
 
-        p_emb = prompt_emb
-        if adapter_params is not None and special_idx is not None:
-            p_emb = _rewrite_special_tokens(
-                adapter_params, prompt_emb, special_idx,
-                jnp.broadcast_to(timestep, (batch,)), t_min, t_max)
+            p_emb = prompt_emb
+            if adapter_params is not None and special_idx_l is not None:
+                p_emb = _rewrite_special_tokens(
+                    adapter_params, prompt_emb, special_idx_l,
+                    jnp.broadcast_to(timestep, (batch_l,)), t_min, t_max)
 
-        img_tokens = patchify(latents.astype(dtype))
-        if extra_img_tokens is not None:
-            extra = jnp.broadcast_to(
-                extra_img_tokens.astype(dtype),
-                (n_items,) + extra_img_tokens.shape[1:])
-            img_tokens = jnp.concatenate([img_tokens, extra], axis=1)
-        if reps > 1:  # CFG: positives rows [0,N), negatives [N,2N)
-            img_tokens = jnp.tile(img_tokens, (reps, 1, 1))
+            img_tokens = patchify(latents.astype(dtype))
+            if extra_img_tokens is not None:
+                extra = jnp.broadcast_to(
+                    extra_img_tokens.astype(dtype),
+                    (n_items,) + extra_img_tokens.shape[1:])
+                img_tokens = jnp.concatenate([img_tokens, extra], axis=1)
+            if reps_l > 1:  # CFG: positives rows [0,N), negatives [N,2N)
+                img_tokens = jnp.tile(img_tokens, (reps_l, 1, 1))
 
-        t_norm = jnp.broadcast_to(timestep / 1000.0, (batch,)).astype(dtype)
-        control = None
-        if use_control:
-            control = {"blocks": control_blocks, "cond": control_cond,
-                       "scale": ctl_scale}
-        # Last-block slimming (models/dit.py): the final block computes
-        # only the base-image rows that survive the slice below.  Gated
-        # off when LoRA factors / ControlNet residuals / ring attention
-        # need the full last block.
-        slim = ((h // 2) * (w // 2)
-                if (slim_last and lora is None and control is None
-                    and attn_impl != "ring") else 0)
-        out = dit_forward(dit_params, cfg, img_tokens, p_emb, t_norm,
-                          img_cos, img_sin, txt_cos, txt_sin,
-                          txt_key_mask=txt_mask, attn_impl=attn_impl,
-                          control=control, lora=lora, attn_bias=attn_bias,
-                          slim_last=slim, attn_clamp=attn_clamp)
-        base_tokens = out[:, : (h // 2) * (w // 2)]
-        v = unpatchify(base_tokens, h, w)
+            t_norm = jnp.broadcast_to(
+                timestep / 1000.0, (batch_l,)).astype(dtype)
+            control = None
+            if use_control:
+                control = {"blocks": control_blocks, "cond": control_cond_l,
+                           "scale": ctl_scale}
+            # Last-block slimming (models/dit.py): the final block computes
+            # only the base-image rows that survive the slice below.  Gated
+            # off when LoRA factors / ControlNet residuals / ring attention
+            # need the full last block.
+            slim = ((h // 2) * (w // 2)
+                    if (slim_last and lora is None and control is None
+                        and attn_impl != "ring") else 0)
+            out = dit_forward(dit_params, cfg, img_tokens, p_emb, t_norm,
+                              img_cos, img_sin, txt_cos, txt_sin,
+                              txt_key_mask=txt_mask_l, attn_impl=attn_impl,
+                              control=control, lora=lora,
+                              attn_bias=attn_bias_l,
+                              slim_last=slim, attn_clamp=attn_clamp)
+            base_tokens = out[:, : (h // 2) * (w // 2)]
+            v = unpatchify(base_tokens, h, w)
 
-        if reps == 2:
-            v_posi, v_nega = v[:n_items], v[n_items:]
-            v = v_nega + cfg_scale * (v_posi - v_nega)
-        if inpaint_mask is not None and input_latents is not None:
-            # Outside the mask, replace the prediction with the velocity
-            # implied by the clean latents (BasePipeline.step inpaint
-            # blending, utils/__init__.py:150-156 + flow_match.py:85-91).
-            expected = (latents.astype(jnp.float32)
-                        - input_latents.astype(jnp.float32)) / sigma
-            v = (expected * (1.0 - inpaint_mask)
-                 + v.astype(jnp.float32) * inpaint_mask)
-        latents = (latents.astype(jnp.float32)
-                   + v.astype(jnp.float32) * (sigma_next - sigma)).astype(latents.dtype)
-        return (latents, p_emb), None
+            if reps_l == 2:
+                v_posi, v_nega = v[:n_items], v[n_items:]
+                v = v_nega + cfg_scale * (v_posi - v_nega)
+            if inpaint_mask is not None and input_latents is not None:
+                # Outside the mask, replace the prediction with the velocity
+                # implied by the clean latents (BasePipeline.step inpaint
+                # blending, utils/__init__.py:150-156 + flow_match.py:85-91).
+                expected = (latents.astype(jnp.float32)
+                            - input_latents.astype(jnp.float32)) / sigma
+                v = (expected * (1.0 - inpaint_mask)
+                     + v.astype(jnp.float32) * inpaint_mask)
+            latents = (latents.astype(jnp.float32)
+                       + v.astype(jnp.float32)
+                       * (sigma_next - sigma)).astype(latents.dtype)
+            return (latents, p_emb), None
+
+        return step
+
+    step = make_step(batch, reps, txt_mask, special_idx, attn_bias,
+                     control_cond)
+    k = cfg_truncate_after
+    if k is not None and reps == 2 and 0 < k < sigmas.shape[0]:
+        (latents, p_emb2), _ = jax.lax.scan(
+            step, (latents, prompt_emb),
+            (sigmas[:k], sigmas_next[:k], timesteps[:k], scales[:k]))
+        # Late steps: positive rows only (rows [0, N)); the per-step
+        # special-token rewrite keeps feeding the positives' adapter.
+        step_pos = make_step(
+            n_items, 1,
+            txt_mask[:n_items],
+            None if special_idx is None else special_idx[:n_items],
+            None if attn_bias is None else attn_bias[:n_items],
+            None if control_cond is None else control_cond[:n_items])
+        (latents, _), _ = jax.lax.scan(
+            step_pos, (latents, p_emb2[:n_items]),
+            (sigmas[k:], sigmas_next[k:], timesteps[k:], scales[k:]))
+        return latents
 
     (latents, _), _ = jax.lax.scan(
         step, (latents, prompt_emb), (sigmas, sigmas_next, timesteps, scales))

@@ -1,6 +1,7 @@
 """Denoise-scan semantics: scan output == explicit python step loop."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +35,7 @@ def _setup():
         txt_mask, special_idx, ropes, sched, (h, w)
 
 
+@pytest.mark.slow
 def test_denoise_matches_python_loop():
     (cfg, dit_params, adapter_params, latents, edit_tokens, prompt_emb,
      txt_mask, special_idx, ropes, sched, (h, w)) = _setup()
@@ -86,6 +88,7 @@ def test_denoise_no_cfg_no_adapter():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_inpaint_full_protect_recovers_input():
     """With the repaint mask all-zero, the implied velocity (eps - x0) is
     exact, so the Euler trajectory must land back on the clean latents."""
@@ -107,3 +110,65 @@ def test_inpaint_full_protect_recovers_input():
                   input_latents=x0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_cfg_truncate_matches_python_loop():
+    """cfg_truncate_after=k: steps [0,k) full CFG, steps [k,T) positive
+    rows only — pinned against an explicit python loop (the opt-in
+    CFG-interval serving accelerator; default None is reference-exact)."""
+    (cfg, dit_params, adapter_params, latents, edit_tokens, prompt_emb,
+     txt_mask, special_idx, ropes, sched, (h, w)) = _setup()
+    img_cos, img_sin, txt_cos, txt_sin = ropes
+    t_min, t_max = 20.0, 1000.0
+    cfg_scale, k = 4.0, 2
+
+    out = denoise(dit_params, cfg, latents, edit_tokens, prompt_emb, txt_mask,
+                  img_cos, img_sin, txt_cos, txt_sin,
+                  jnp.asarray(sched.sigmas), jnp.asarray(sched.sigmas_next),
+                  jnp.asarray(sched.timesteps), jnp.asarray(cfg_scale),
+                  latent_hw=(h, w), adapter_params=adapter_params,
+                  special_idx=special_idx, t_min=t_min, t_max=t_max,
+                  cfg_truncate_after=k)
+
+    lat = latents
+    p_emb = prompt_emb
+    for i in range(sched.num_steps):
+        rows = 2 if i < k else 1
+        t = jnp.asarray(sched.timesteps[i])
+        p_emb = _rewrite_special_tokens(
+            adapter_params, p_emb[:rows], special_idx[:rows],
+            jnp.broadcast_to(t, (rows,)), t_min, t_max)
+        toks = jnp.concatenate([patchify(lat), edit_tokens], axis=1)
+        toks = jnp.broadcast_to(toks, (rows,) + toks.shape[1:])
+        o = jdit.dit_forward(dit_params, cfg, toks, p_emb[:rows],
+                             jnp.broadcast_to(t / 1000.0, (rows,)),
+                             img_cos, img_sin, txt_cos, txt_sin,
+                             txt_key_mask=txt_mask[:rows])
+        v = unpatchify(o[:, : (h // 2) * (w // 2)], h, w)
+        if rows == 2:
+            v = v[1:] + cfg_scale * (v[:1] - v[1:])
+        lat = lat + v * (sched.sigmas_next[i] - sched.sigmas[i])
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(lat),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_cfg_truncate_disabled_is_bit_identical():
+    """k >= num_steps (or None) must take the single-scan path and equal
+    the default bit-for-bit."""
+    (cfg, dit_params, adapter_params, latents, edit_tokens, prompt_emb,
+     txt_mask, special_idx, ropes, sched, (h, w)) = _setup()
+    img_cos, img_sin, txt_cos, txt_sin = ropes
+
+    def run(**kw):
+        return np.asarray(denoise(
+            dit_params, cfg, latents, edit_tokens, prompt_emb, txt_mask,
+            img_cos, img_sin, txt_cos, txt_sin,
+            jnp.asarray(sched.sigmas), jnp.asarray(sched.sigmas_next),
+            jnp.asarray(sched.timesteps), jnp.asarray(4.0),
+            latent_hw=(h, w), adapter_params=adapter_params,
+            special_idx=special_idx, t_min=20.0, t_max=1000.0, **kw))
+
+    base = run()
+    assert (run(cfg_truncate_after=sched.num_steps) == base).all()
+    assert (run(cfg_truncate_after=None) == base).all()
