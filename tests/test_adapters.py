@@ -1,6 +1,7 @@
 """Adapter parity tests against the reference helpers.py modules."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -72,6 +73,7 @@ def test_dual_adapter_parity_and_loss():
         np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_perceiver_init_runs():
     p = jad.init_perceiver_params(jax.random.PRNGKey(0), dim=64, num_latents=8,
                                   max_num_media_tokens=64)

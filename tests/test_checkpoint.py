@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -33,6 +34,7 @@ def _tiny_trainable():
     return cfg, {"lora": lora, "adapters": adapters}
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg, trainable = _tiny_trainable()
     path = ckpt.save_checkpoint(str(tmp_path), trainable, global_step=7,

@@ -83,6 +83,7 @@ def _build_model_dir(base):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_validate_cli_end_to_end(tmp_path, monkeypatch):
     import physicedit_tpu.cli.validate as cli
     from physicedit_tpu.pipeline.edit_pipeline import PhysicEditPipeline
@@ -153,6 +154,7 @@ def test_from_pretrained_infers_tiny_configs(tmp_path):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_from_pretrained_int4_quantized_tiny(tmp_path, monkeypatch):
     """The single-chip serving load path: packed-int4 DiT + VL with fused
     decode projections, straight from disk files, runs an edit.  (The
@@ -199,6 +201,7 @@ def test_from_pretrained_int4_quantized_tiny(tmp_path, monkeypatch):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_synthetic_real_layout_tree_end_to_end(tmp_path, monkeypatch):
     """Real-weight readiness rehearsal (docs/REAL_WEIGHTS.md): the
     SHARDED HF-layout tree from tools/make_synthetic_checkpoint.py —

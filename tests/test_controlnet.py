@@ -1,6 +1,7 @@
 """Blockwise ControlNet parity + integration."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -38,6 +39,7 @@ def test_step_scales_gate():
     np.testing.assert_allclose(s, [2.0, 2.0, 2.0, 0.0, 0.0])
 
 
+@pytest.mark.slow
 def test_denoise_with_controlnet_runs():
     from physicedit_tpu.models import dit as jdit
     from physicedit_tpu.ops import rope as jrope
@@ -78,6 +80,7 @@ def test_denoise_with_controlnet_runs():
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pipeline_with_blockwise_controlnet():
     from PIL import Image
 

@@ -49,6 +49,7 @@ def test_rope_interpolation_matches_forward_sampling():
 
 
 @requires_reference
+@pytest.mark.slow
 def test_block_parity_tiny():
     """One dual-stream block, tiny dims, fp32: ours vs reference torch."""
     import torch
@@ -146,6 +147,7 @@ def test_padding_invariance():
 
 
 @requires_reference
+@pytest.mark.slow
 def test_block_parity_bf16():
     """bf16 accumulation check (SURVEY hard-part #2): one block at compute
     dtype bf16 vs the reference torch block in bf16."""
@@ -238,6 +240,7 @@ def test_apply_rope_per_row_tables():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dit_forward_slim_last_matches_full():
     """Last-block slimming: the surviving base-image rows equal the full
     forward exactly (same math on a query subset); bias + mask variants."""

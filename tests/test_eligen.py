@@ -91,6 +91,7 @@ def test_flash_bias_kernel_matches_xla():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_eligen_on_quantized_pipeline():
     """EliGen segments + the W4A8 fused activation-quantize paths compose:
     the per-CFG-row text rope and the entity attention bias must survive

@@ -46,6 +46,7 @@ def test_esrgan_rrdbnet_parity():
     assert out.shape == (2, 64, 96, 3)
 
 
+@pytest.mark.slow
 def test_esrgan_upscale_host_wrapper():
     from PIL import Image
 
@@ -66,6 +67,7 @@ def test_esrgan_upscale_host_wrapper():
 # ---------------------------------------------------------------------------
 
 @requires_reference
+@pytest.mark.slow
 def test_rife_resize_matches_torch_interpolate():
     torch = _torch()
     import torch.nn.functional as F
@@ -137,6 +139,7 @@ def test_rife_ifnet_parity():
                                atol=5e-4)
 
 
+@pytest.mark.slow
 def test_rife_interpolater_doubles_frames():
     from PIL import Image
 

@@ -133,6 +133,7 @@ def test_identity_nnf_remap_recovers_source(small_case):
         rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pyramid_recovers_translation():
     """Shift an image by (4, 6); patch match must re-render the source
     style through the recovered correspondence close to the true target."""
@@ -155,6 +156,7 @@ def test_pyramid_recovers_translation():
     assert err < base_err * 0.35, (err, base_err)
 
 
+@pytest.mark.slow
 def test_smooth_video_runs_and_reduces_flicker():
     rng = np.random.default_rng(4)
     h = w = 48
@@ -175,6 +177,7 @@ def test_smooth_video_runs_and_reduces_flicker():
         assert var_out < var_in, (mode, var_out, var_in)
 
 
+@pytest.mark.slow
 def test_interpolate_video_keyframes():
     rng = np.random.default_rng(5)
     h = w = 48

@@ -214,6 +214,7 @@ def test_gqa_causal_flash_left_padded_batch():
                                    rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_vl_prefill_routes_to_flash_and_matches(monkeypatch):
     """models/qwen_vl.prefill with the flash path forced on (interpret mode)
     == the dense path, including the downstream greedy decode handoff."""

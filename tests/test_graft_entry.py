@@ -7,6 +7,7 @@ tests invoke ``__graft_entry__`` in fresh subprocesses that mimic the
 driver's environment.
 """
 
+import pytest
 import os
 import subprocess
 import sys
@@ -25,6 +26,7 @@ def _clean_env(**overrides):
     return env
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions_virtual_mesh():
     proc = subprocess.run(
         [sys.executable, "-c",
@@ -35,6 +37,7 @@ def test_dryrun_multichip_self_provisions_virtual_mesh():
     assert "dryrun_multichip ok" in proc.stdout + proc.stderr
 
 
+@pytest.mark.slow
 def test_entry_compiles_single_device():
     proc = subprocess.run(
         [sys.executable, "-c",
@@ -44,3 +47,15 @@ def test_entry_compiles_single_device():
         timeout=600)
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "entry ok True" in proc.stdout
+
+
+def test_entry_module_surface():
+    """Fast-tier smoke: the driver entry module exposes both hooks with
+    the contracted signatures (the compile checks above are slow-tier)."""
+    import inspect
+
+    import __graft_entry__ as g
+
+    assert callable(g.entry)
+    sig = inspect.signature(g.dryrun_multichip)
+    assert list(sig.parameters) == ["n_devices"]

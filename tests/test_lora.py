@@ -1,5 +1,6 @@
 """LoRA: factors-on-activations == offline weight merge; format roundtrip."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,7 @@ def _random_lora(cfg, rank=4, seed=1):
         lambda x: x + 0.02 * jax.random.normal(next(keys), x.shape, x.dtype), lora)
 
 
+@pytest.mark.slow
 def test_lora_forward_equals_merged_weights():
     cfg = jdit.DiTConfig(num_layers=2, dim=64, num_heads=2, head_dim=32,
                          txt_in_dim=48, patch_dim=64, time_dim=32)

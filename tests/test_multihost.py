@@ -4,6 +4,7 @@ True multi-process runs need a pod; these tests pin the single-process
 degradation paths and the sharding layouts that GSPMD sees either way.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,7 @@ def test_initialize_distributed_noop_single_process():
     assert jax.process_count() == 1
 
 
+@pytest.mark.slow
 def test_two_process_hybrid_mesh_grad():
     """REAL multi-process evidence: two OS processes, each owning 4 CPU
     devices, build the hybrid mesh via parallel/multihost.py and run a

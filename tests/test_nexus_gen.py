@@ -43,6 +43,7 @@ def test_nexus_adapter_parity():
 # ---------------------------------------------------------------------------
 
 @requires_reference
+@pytest.mark.slow
 def test_nexus_merger_parity():
     torch = _torch()
     ref = load_ref_module("models.nexus_gen_projector")
@@ -69,6 +70,7 @@ def test_nexus_merger_parity():
 
 
 @requires_reference
+@pytest.mark.slow
 def test_nexus_merger_with_reference_embeds():
     torch = _torch()
     ref = load_ref_module("models.nexus_gen_projector")
@@ -98,6 +100,7 @@ def test_nexus_merger_with_reference_embeds():
 # semantics (nexus_gen.py:116-152) on a tiny config
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_nexus_forward_and_target_embeddings():
     from physicedit_tpu.models import nexus_gen as NG
     from physicedit_tpu.models import qwen_vl as VL

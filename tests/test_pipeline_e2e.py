@@ -70,6 +70,7 @@ def test_special_token_positions(tiny_pipe):
     assert special is not None and special.shape == (64,)
 
 
+@pytest.mark.slow
 def test_multi_image_edit(tiny_pipe):
     rng = np.random.default_rng(5)
     imgs = [Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
@@ -110,6 +111,7 @@ def test_inpaint_preserves_unmasked_region(tiny_pipe):
     assert kept_delta < masked_delta * 1.5 + 40  # loose sanity on random weights
 
 
+@pytest.mark.slow
 def test_edit_rope_interpolation_path(tiny_pipe):
     rng = np.random.default_rng(8)
     edit = Image.fromarray(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8))
@@ -146,6 +148,7 @@ def test_txt_bucketing_bounds_compiles(tiny_pipe):
     assert captured[0][1] % tiny_pipe.txt_len_bucket == 0
 
 
+@pytest.mark.slow
 def test_edit_batch_matches_single_edits(tiny_pipe):
     """Batched serving: N same-bucket edits in one denoise invocation
     reproduce the single-edit outputs (same per-item seed/noise)."""

@@ -1,5 +1,6 @@
 """Int8 quantized linear: numerics and DiT integration."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,7 @@ def test_linear_dispatches_on_quant_leaf():
                                np.asarray(quant.int8_linear(p_q, x)))
 
 
+@pytest.mark.slow
 def test_quantized_dit_forward_close_to_fp32():
     from physicedit_tpu.models import dit as jdit
     from physicedit_tpu.ops import rope as jrope

@@ -186,6 +186,7 @@ def test_fused_quant_shape_fallbacks():
                            jnp.zeros((2, 256), jnp.bfloat16)) is None
 
 
+@pytest.mark.slow
 def test_w4_block_fused_path_matches_unfused():
     """block_forward with the fused modulate/GELU->int8 path on vs off:
     same quantized math, near-identical outputs."""

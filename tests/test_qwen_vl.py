@@ -252,6 +252,7 @@ def test_left_padded_decode_matches_unpadded():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_fused_decode_projections_exact():
     """fuse_decode_projections concatenates per-output-channel weights, so
     float and packed-int4 trees must produce identical forwards."""
@@ -282,6 +283,7 @@ def test_fused_decode_projections_exact():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_int8_kv_cache_decode_matches_float():
     """kv_int8 prefill + decode: int8 per-(pos, head) cache entries track
     the float-cache decode (same tokens on a seeded tiny model; cache
@@ -318,6 +320,7 @@ def test_int8_kv_cache_decode_matches_float():
         f"int8-KV decode diverged: {np.asarray(tf)} vs {np.asarray(tq)}")
 
 
+@pytest.mark.slow
 def test_split_layers_matches_stacked():
     """split_layers (per-layer weight trees, unrolled layer loop — the
     serving decode layout that avoids the scan-xs slice materialisation in

@@ -49,6 +49,7 @@ def test_ring_attention_sharded_inputs():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dit_forward_ring_matches_xla():
     import jax.numpy as jnp
 
@@ -104,6 +105,7 @@ def test_ring_attention_entity_bias_matches_full():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dit_forward_ring_entity_bias_matches_xla():
     """Entity-masked DiT output under sequence parallelism == dense."""
     from physicedit_tpu.models import dit as jdit

@@ -15,6 +15,7 @@ from tests.test_pipeline_e2e import build_tiny_pipeline
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+@pytest.mark.slow
 def test_sharded_pipeline_matches_single_device():
     rng = np.random.default_rng(0)
     edit = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
@@ -46,6 +47,7 @@ def test_vl_text_specs_cover_tree():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+@pytest.mark.slow
 def test_data_parallel_edit_batch_matches_unsharded():
     """BASELINE config #5 end state: batched edits data-parallel over the
     mesh's `data` axis (+ tensor-parallel weights) match unsharded runs."""

@@ -64,6 +64,7 @@ def trainer(tmp_path_factory):
     return t
 
 
+@pytest.mark.slow
 def test_preprocess_and_steps(trainer):
     from physicedit_tpu.train.train_step import train_step
 
@@ -85,6 +86,7 @@ def test_preprocess_and_steps(trainer):
     assert losses[-1] < losses[0]  # same batch -> loss must drop
 
 
+@pytest.mark.slow
 def test_save_and_resume(trainer, tmp_path):
     trainer.global_step = 11
     path = trainer.save(epoch=0)
@@ -106,6 +108,7 @@ def test_save_and_resume(trainer, tmp_path):
         np.asarray(trainer.trainable["adapters"]["dino_time_embed"]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_eval_probe(trainer):
     strip = trainer.evaluate(0, num_inference_steps=2)
     assert strip is not None
@@ -136,6 +139,7 @@ def test_gradient_accumulation_delays_updates():
     assert (snapshots[2] < 1.0).all()
 
 
+@pytest.mark.slow
 def test_compute_visual_priors_standalone(trainer):
     """The pipeline-level prior extractor (inference-style API) runs and
     produces [1, 64, D] deltas for both branches."""
@@ -164,6 +168,7 @@ def test_collate_pads_text_axis(trainer):
     assert batch["txt_cos"].shape[0] == batch["prompt_emb"].shape[1]
 
 
+@pytest.mark.slow
 def test_per_sample_loss_weighting(trainer):
     """Each sample's bell weight scales ITS OWN error (reference
     training_loss, qwen_image_physical.py:324-328) — the batched loss must
@@ -190,6 +195,7 @@ def test_per_sample_loss_weighting(trainer):
     np.testing.assert_allclose(batched, singles, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_data_parallel_training_step(trainer):
     """One train step on a (2, 4) mesh with a collated global batch of 2."""
     import jax
@@ -240,6 +246,7 @@ def test_direct_distill_loss(trainer):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_train_step_with_w4_frozen_dit(trainer, monkeypatch):
     """Single-chip training path: frozen DiT in packed int4, LoRA trains
     through the straight-through custom VJP (kernels/quant_matmul.py)."""
@@ -274,6 +281,7 @@ def test_train_step_with_w4_frozen_dit(trainer, monkeypatch):
     assert float(np.abs(np.asarray(leaf)).max()) > 0
 
 
+@pytest.mark.slow
 def test_trainer_quantize_frozen_config():
     pipe = build_tiny_pipeline()
     cfg = TrainConfig(output_path="/tmp/x", lora_rank=2, height=64, width=64,

@@ -4,6 +4,7 @@ Uses a narrow (base_dim=8) but structurally identical VAE: same stage count,
 res-block count, mid attention, z_dim 16 and fixed latent normalisation.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -23,6 +24,7 @@ def _make_ref_vae():
 
 
 @requires_reference
+@pytest.mark.slow
 def test_encode_parity():
     import torch
 
@@ -55,6 +57,7 @@ def test_decode_parity():
 
 
 @requires_reference
+@pytest.mark.slow
 def test_roundtrip_shapes():
     ref = _make_ref_vae()
     params = vae_from_torch(ref.state_dict(), dtype=jnp.float32)

@@ -6,6 +6,7 @@ convs over the clip, per-frame spatial resampling, NO temporal
 compression on the non-cache path.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -26,6 +27,7 @@ def _make_ref_vae():
 
 
 @requires_reference
+@pytest.mark.slow
 def test_video_encode_parity():
     import torch
 
@@ -44,6 +46,7 @@ def test_video_encode_parity():
 
 
 @requires_reference
+@pytest.mark.slow
 def test_video_decode_parity():
     import torch
 
@@ -61,6 +64,7 @@ def test_video_decode_parity():
 
 
 @requires_reference
+@pytest.mark.slow
 def test_video_t1_matches_image_mode():
     """A T=1 clip through video mode == the 2D image path (the last-tap
     reduction the image converter bakes in)."""
@@ -76,6 +80,7 @@ def test_video_t1_matches_image_mode():
 
 
 @requires_reference
+@pytest.mark.slow
 def test_video_causality():
     """Frame t's latent must not depend on frames > t (causal convs)."""
     ref = _make_ref_vae()
