@@ -87,10 +87,14 @@ def _stub_measurements(monkeypatch):
 
     monkeypatch.setattr(bench.jax, "devices",
                         lambda: [SimpleNamespace(platform="tpu")])
-    monkeypatch.setattr(md, "measure_dit60", lambda n, reps=4: 1.9)
+    monkeypatch.setattr(
+        md, "measure_dit60",
+        lambda n, reps=4, batch=2, params=None: (1.9 if batch == 2 else 0.95,
+                                                 None))
     monkeypatch.setattr(bench, "bench_dit_bf16_per_block", lambda d: 0.0424)
     monkeypatch.setattr(bench, "bench_quant_delta",
-                        lambda d, n_layers=3: {"rel_l2": 0.1, "cos": 0.995})
+                        lambda d, n_layers=3: {"n_layers": 3, "rel_l2": 0.1,
+                                               "cosine": 0.995})
     monkeypatch.setattr(bench, "bench_vl",
                         lambda batch_sizes=(1, 4, 8): {b: VL[b]
                                                        for b in batch_sizes})
@@ -134,6 +138,12 @@ def test_main_composes_with_stubbed_measurements(monkeypatch, capsys,
     assert detail["bf16_block_s"] == pytest.approx(0.0424)
     assert sorted(detail["vl"], key=int) == ["1", "2", "4", "8", "16"]
     assert detail["dinov2_s"] == pytest.approx(0.0318)
+    # opt-in cfg-truncate mode composed from the 1-row step measurement
+    ct = detail["cfg_truncate"]
+    assert ct["k"] == 30 and ct["dit60_step_b1_s"] == pytest.approx(0.95)
+    assert ct["denoise_s"] == pytest.approx(30 * 1.9 + 10 * 0.95)
+    from tools import render_measured
+    assert "cfg_truncate_step" in render_measured.baseline_body(detail)
 
 
 def test_main_prints_headline_even_with_zero_budget(monkeypatch, capsys,

@@ -42,7 +42,12 @@ def log(*a):
 
 
 def measure_dit60(num_layers: int = 60, reps: int = 6,
-                  attn_impl: str = "pallas", slim: bool = True):
+                  attn_impl: str = "pallas", slim: bool = True,
+                  batch: int = 2, params=None):
+    """batch=2 is the CFG step (the reference workload); batch=1 is the
+    positive-only step of the opt-in --cfg_truncate_step serving mode.
+    Pass ``params`` to reuse an already-materialised quantized tree
+    (avoids a second 10.25 GB fill when measuring both batches)."""
     from physicedit_tpu.core.params import random_tree_like, tree_size_bytes
     from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
     from physicedit_tpu.models import dit as jdit
@@ -50,14 +55,16 @@ def measure_dit60(num_layers: int = 60, reps: int = 6,
 
     cfg = jdit.DiTConfig(num_layers=num_layers)
     dtype = jnp.bfloat16
-    shapes = jax.eval_shape(lambda: quantize_tree_int4(
-        jdit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)))
-    t0 = time.perf_counter()
-    params = random_tree_like(1, shapes)
-    log(f"quantized params materialised: {tree_size_bytes(params)/1e9:.2f} GB "
-        f"in {time.perf_counter()-t0:.0f}s")
+    if params is None:
+        shapes = jax.eval_shape(lambda: quantize_tree_int4(
+            jdit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)))
+        t0 = time.perf_counter()
+        params = random_tree_like(1, shapes)
+        log(f"quantized params materialised: "
+            f"{tree_size_bytes(params)/1e9:.2f} GB "
+            f"in {time.perf_counter()-t0:.0f}s")
 
-    b, grid, s_t = 2, 64, 256
+    b, grid, s_t = batch, 64, 256
     tables = tuple(map(jnp.asarray, jrope.build_rope_tables(
         [(1, grid, grid), (1, grid, grid)], s_t)))
     mask = jnp.ones((b, s_t), bool)
@@ -101,7 +108,7 @@ def measure_dit60(num_layers: int = 60, reps: int = 6,
         it = fwd(params, it, tt, tables, mask, jnp.float32(0.1 * ((i % 5) + 1)))
         float(it.sum())
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best, params
 
 
 if __name__ == "__main__":
@@ -110,6 +117,6 @@ if __name__ == "__main__":
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--attn", default="pallas")
     args = ap.parse_args()
-    s = measure_dit60(args.layers, args.reps, attn_impl=args.attn)
+    s, _ = measure_dit60(args.layers, args.reps, attn_impl=args.attn)
     log(f"MEASURED {args.layers}-block CFG denoise step (W4A8): {s:.3f} s "
         f"({s/args.layers*1e3:.2f} ms/block)")

@@ -104,6 +104,14 @@ def baseline_body(d: dict) -> str:
                      "definition; answers stop at EOS)",
                      f"{d['serving_edits_per_min_typical']:.3f} "
                      "edits/min/chip"))
+    if "cfg_truncate" in d:
+        ct = d["cfg_truncate"]
+        best = min(ct["serving_item_s"].values())
+        rows.append((f"OPT-IN `--cfg_truncate_step {ct['k']}` sweep serving "
+                     "(positive-only late steps — changes outputs vs the "
+                     "reference workload; excluded from the headline)",
+                     f"{best:.2f} s/item → {60 / best:.3f} edits/min/chip "
+                     f"(1-row step {ct['dit60_step_b1_s'] * 1e3:.0f} ms)"))
     rows.append(("**HEADLINE: sweep-serving throughput "
                  f"(batch {d['serving_best_batch']})**",
                  f"**{d['serving_edits_per_min']:.3f} edits/min/chip = "
