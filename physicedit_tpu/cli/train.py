@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="adafactor: factored second moment, ~zero "
                         "optimizer-state HBM — fits reference-scale r=128 "
                         "on one 16 GB chip (documented divergence)")
+    p.add_argument("--loader_workers", type=int, default=2,
+                   help="background dataset-decode threads (the "
+                        "reference's DataLoader num_workers, "
+                        "train_physicedit.py:512); 0 = synchronous")
     p.add_argument("--adapters_dtype", default="float32",
                    choices=("float32", "bfloat16"),
                    help="adapter master-weight dtype; bfloat16 frees "
@@ -112,7 +116,8 @@ def main(argv=None):
         optimizer_state_dtype=args.optimizer_state_dtype,
         lora_dtype=args.lora_dtype,
         optimizer=args.optimizer,
-        adapters_dtype=args.adapters_dtype)
+        adapters_dtype=args.adapters_dtype,
+        loader_workers=args.loader_workers)
 
     mesh = None
     if args.data_parallel * args.model_parallel > 1:

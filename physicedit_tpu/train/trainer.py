@@ -80,6 +80,10 @@ class TrainConfig:
     # fits reference-scale r=128 on ONE 16 GB chip (measured,
     # tools/train_singlechip.py); fp32 is the reference-fidelity mode
     adapters_dtype: str = "float32"
+    # background threads decoding dataset items ahead of the device (the
+    # reference's DataLoader num_workers=8, train_physicedit.py:512);
+    # 0 = synchronous
+    loader_workers: int = 2
 
 
 def init_trainable(pipe, cfg: TrainConfig):
@@ -424,13 +428,15 @@ class Trainer:
         frozen = self.frozen
         pending = []
         skipped = 0
+        from physicedit_tpu.train.prefetch import prefetch_samples
+
         for epoch in range(self.start_epoch, cfg.num_epochs):
             usable = 0
-            for i in range(len(self.dataset)):
-                if epoch == self.start_epoch and i < self.skip_batches:
-                    continue
+            start = (self.skip_batches if epoch == self.start_epoch else 0)
+            for i, sample in prefetch_samples(
+                    self.dataset, range(start, len(self.dataset)),
+                    num_workers=cfg.loader_workers):
                 self._epoch_pos = i + 1  # exact resume position (save())
-                sample = self.dataset[i]
                 if sample is None:
                     continue
                 micro = (self._refresh_noise(sample) if cfg.cached_inputs
