@@ -10,6 +10,7 @@ _EXPORTS = {
     "tiler": "physicedit_tpu.extensions.tiler",
     "quality_metric": "physicedit_tpu.extensions.quality_metric",
     "fastblend": "physicedit_tpu.extensions.fastblend",
+    "processors": "physicedit_tpu.extensions.processors",
 }
 
 __all__ = list(_EXPORTS)

@@ -276,13 +276,20 @@ def load_rife(path: str) -> dict:
 # ---------------------------------------------------------------------------
 
 def _process_images(images):
-    """PIL -> [N, H, W, 3] BGR float in [0,1], /32-resized (the reference's
-    channel-flip quirk, RIFE/__init__.py:130-137, kept for parity)."""
+    """PIL -> [N, H, W, 3] BGR float in [0,1], rounded UP to /32 sizes.
+
+    Keeps the reference's BGR channel-flip quirk (RIFE/__init__.py:130-137).
+    Documented divergence: the reference's non-/32 branch resizes to
+    ``(w+31)//32`` *pixels* (processors/RIFE.py:25-29 — it forgets the
+    ``*32``), collapsing any non-/32 frame to a few pixels and crashing
+    IFNet's 1/4-scale stage; here the size rounds up to the next multiple
+    of 32, which is plainly what that code meant."""
     out = []
     for image in images:
         width, height = image.size
         if width % 32 or height % 32:
-            image = image.resize(((width + 31) // 32, (height + 31) // 32))
+            image = image.resize(((width + 31) // 32 * 32,
+                                  (height + 31) // 32 * 32))
         out.append(np.asarray(image, np.float32)[:, :, [2, 1, 0]] / 255.0)
     return np.stack(out)
 
