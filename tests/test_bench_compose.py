@@ -196,3 +196,43 @@ def test_headline_regression_floor():
         dec_item_s=0.054, base_gb=14.86, cache_item_gb=0.074)
     assert out[8]["fits"]
     assert 60.0 / out[8]["item_s"] >= 0.75
+
+
+def test_main_without_out_path_writes_no_file(monkeypatch, capsys, tmp_path):
+    """A bare ``python bench.py`` (the driver's unattended end-of-round
+    invocation) must never touch the committed BENCH_DETAIL.json: a
+    budget-gated driver run would otherwise rewrite the artifact with the
+    skipped extras dropped, leaving stale rendered tables in the final
+    snapshot commit."""
+    import json
+    import pathlib
+
+    _stub_measurements(monkeypatch)
+    monkeypatch.chdir(tmp_path)
+    repo_detail = pathlib.Path(bench.__file__).with_name("BENCH_DETAIL.json")
+    before = repo_detail.read_bytes()
+    bench.main(out_path=None, budget_s=10_000.0)
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    assert json.loads(line)["metric"].startswith("edits_per_min")
+    assert repo_detail.read_bytes() == before
+    assert list(tmp_path.iterdir()) == []  # no stray cwd writes either
+
+
+def test_write_detail_merges_into_existing(tmp_path):
+    """Budget-gated runs that skip an extra keep the previously measured
+    row: _write_detail merges nested dicts per key (batch keys normalised
+    to str so file-loaded and in-memory keys cannot duplicate)."""
+    import json
+
+    p = tmp_path / "detail.json"
+    with open(p, "w") as f:
+        json.dump({"vl": {"1": [1, 2], "16": [9, 9]}, "dinov2_s": 0.03,
+                   "old_only": True}, f)
+    bench._write_detail({"vl": {1: [5, 6]}, "denoise_s": 74.9}, str(p))
+    with open(p) as f:
+        got = json.load(f)
+    assert got["vl"] == {"1": [5, 6], "16": [9, 9]}
+    assert got["old_only"] is True
+    assert got["denoise_s"] == 74.9
+    assert got["dinov2_s"] == 0.03
