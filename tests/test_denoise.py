@@ -112,6 +112,7 @@ def test_inpaint_full_protect_recovers_input():
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow  # heavy e2e; fast siblings cover the module
 def test_cfg_truncate_matches_python_loop():
     """cfg_truncate_after=k: steps [0,k) full CFG, steps [k,T) positive
     rows only — pinned against an explicit python loop (the opt-in

@@ -43,6 +43,7 @@ def test_entity_bias_tiles_over_edit_tokens():
     assert bias[0, t + 1] < -1e29 and bias[0, t + 5] < -1e29
 
 
+@pytest.mark.slow  # heavy e2e; fast siblings cover the module
 def test_pipeline_with_eligen_runs():
     from tests.test_pipeline_e2e import build_tiny_pipeline
 

@@ -76,6 +76,7 @@ def test_fastblend_config_forwarding():
     assert proc.ebsynth_config["num_iter"] == 2
 
 
+@pytest.mark.slow  # heavy e2e; fast siblings cover the module
 def test_rife_smoother_in_chain_runs():
     import jax
 

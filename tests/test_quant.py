@@ -54,6 +54,7 @@ def test_quantized_dit_forward_close_to_fp32():
     assert np.abs(out - ref).mean() / denom < 0.1
 
 
+@pytest.mark.slow  # heavy e2e; fast siblings cover the module
 def test_quantized_pipeline_edit():
     """Full tiny edit with an int8-quantized DiT (the quantize="int8" path)."""
     from PIL import Image

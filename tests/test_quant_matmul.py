@@ -107,6 +107,7 @@ def test_w4a8_backward_straight_through():
                                rtol=2e-2, atol=8e-2)
 
 
+@pytest.mark.slow  # heavy e2e; fast siblings cover the module
 def test_w4a8_differentiable_in_composition():
     """LoRA-style composition: grads flow to the trainable factors through
     the frozen W4 layer in a deeper chain."""
