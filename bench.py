@@ -537,7 +537,12 @@ def _write_detail(detail, out_path):
     nothing: the committed BENCH_DETAIL.json is updated only by an explicit
     ``--out``, so an unattended end-of-round run can never leave a skinnier
     artifact + stale rendered tables in the final snapshot.  When the file
-    exists, new measurements MERGE into it rather than replacing it."""
+    exists, new measurements MERGE into it rather than replacing it.
+    Caveat of the merge: composite keys retained from an older run (e.g.
+    ``cfg_truncate.denoise_s``, ``bf16_edit_s``) embed that run's step
+    time — a full-budget ``--out`` run refreshes everything and is the
+    only state worth committing (tools/check_artifacts.py guards the
+    render sync, not cross-run coherence)."""
     if out_path is None:
         return
     # json round-trip normalises int dict keys (vl batch sizes) to str so
@@ -571,7 +576,12 @@ def main(out_path=None, budget_s=None):
     from physicedit_tpu.ops.attention import default_impl
     from tools.measure_dit60 import measure_dit60
 
-    t_start = time.monotonic()
+    # anchor at PROCESS start (_T0), not main() entry: the driver's
+    # wall-clock limit covers imports + jax init too (tens of seconds on
+    # this 1-core host) — an extra gated against a main()-relative clock
+    # could start with less real headroom than it thinks and recreate the
+    # round-3 rc=124 mid-extra
+    t_start = _T0
     if budget_s is None:
         budget_s = float(os.environ.get("PHYSICEDIT_BENCH_BUDGET_S", "420"))
     if out_path is None:
@@ -715,11 +725,24 @@ def main(out_path=None, budget_s=None):
         detail["vl"].update(
             {str(b): {"prefill_s": p, "decode_s_per_tok_total": t}
              for b, (p, t) in vl_extra.items()})
-        for nb, c in compose_serving(vl, denoise_s, vis8_s, enc8_s / 8,
-                                     dec8_s / 8, mem["base_gb"],
-                                     mem["cache_item_gb"]).items():
+        # recompose the serving rows with the MEASURED B=4 prompt-encode
+        # prefill (the headline above used the documented 2x-B=2 fallback)
+        # so the committed artifact never mixes two prefill bases
+        composed = compose_serving(vl, denoise_s, vis8_s, enc8_s / 8,
+                                   dec8_s / 8, mem["base_gb"],
+                                   mem["cache_item_gb"])
+        serving = {nb: c["item_s"] for nb, c in composed.items() if c["fits"]}
+        for nb, c in composed.items():
             log(f"  [sweep serving, {nb} items/batch: {c['item_s']:.2f}s/item"
                 f"{'' if c['fits'] else ' — EXCEEDS single-chip HBM'}]")
+        if serving:
+            best_nb, best_item_s = min(serving.items(), key=lambda kv: kv[1])
+            detail["serving_item_s"] = {str(k): v for k, v in serving.items()}
+            detail.update(
+                serving_best_batch=best_nb,
+                serving_edits_per_min=60.0 / best_item_s,
+                serving_edits_per_min_typical=60.0 / composed[best_nb]
+                ["item_typical_s"])
         _write_detail(detail, out_path)
 
     if gate("bf16 per-block differencing", 300):

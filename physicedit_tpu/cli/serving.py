@@ -39,8 +39,9 @@ def add_serving_args(p: argparse.ArgumentParser,
                    help="OPT-IN accelerator (changes outputs vs the "
                         "reference workload): run CFG only for the first "
                         "K steps, positives-only after (late steps cost "
-                        "~half; standard CFG-interval practice). Default "
-                        "off = reference-exact CFG at every step")
+                        "~half; standard CFG-interval practice). K=0 is "
+                        "positives-only throughout; negative K errors. "
+                        "Default off = reference-exact CFG at every step")
     if with_rewriter:
         g.add_argument("--prompt_rewriter_cmd", type=str, default=None,
                        help="Executable that reads a prompt on stdin and "

@@ -10,6 +10,7 @@ __graft_entry__.dryrun_multichip's serve_batch lane alike.
 """
 
 import re
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -54,8 +55,11 @@ class FakeTokenizer:
         return R()
 
     def _words(self, chunk):
-        # Word ids live in [300, 450) — disjoint from the special-token ids.
-        return [300 + (hash(w) % 150) for w in chunk.split()]
+        # Word ids live in [300, 450) — disjoint from the special-token
+        # ids.  crc32, not hash(): Python's string hash is salted per
+        # process, which would break cross-process determinism (golden
+        # capture vs compare, multihost workers tokenizing one prompt).
+        return [300 + (zlib.crc32(w.encode()) % 150) for w in chunk.split()]
 
     def decode(self, ids, skip_special_tokens=True):
         return " ".join(f"tok{i}" for i in ids)

@@ -73,7 +73,8 @@ def denoise(
     # CFG 4.0 for all steps): steps [0, k) run the full CFG batch, steps
     # [k, T) run the POSITIVE rows only (the negative branch contributes
     # little at low sigma; standard CFG-interval practice).  Each late
-    # step costs ~half.  None / k >= T disables (default).
+    # step costs ~half.  None / k >= T disables (default); k=0 runs
+    # positives-only from the first step; negative k is an error.
 ):
     """Run the full denoise schedule; returns final latents [N, h, w, 16].
 
@@ -154,7 +155,9 @@ def denoise(
     step = make_step(batch, reps, txt_mask, special_idx, attn_bias,
                      control_cond)
     k = cfg_truncate_after
-    if k is not None and reps == 2 and 0 < k < sigmas.shape[0]:
+    if k is not None and k < 0:
+        raise ValueError(f"cfg_truncate_after must be >= 0, got {k}")
+    if k is not None and reps == 2 and k < sigmas.shape[0]:
         (latents, p_emb2), _ = jax.lax.scan(
             step, (latents, prompt_emb),
             (sigmas[:k], sigmas_next[:k], timesteps[:k], scales[:k]))

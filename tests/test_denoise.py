@@ -173,3 +173,56 @@ def test_cfg_truncate_disabled_is_bit_identical():
     base = run()
     assert (run(cfg_truncate_after=sched.num_steps) == base).all()
     assert (run(cfg_truncate_after=None) == base).all()
+
+
+def test_cfg_truncate_negative_raises():
+    """k < 0 is a loud error, not a silent no-op (the 0 < k gate used to
+    swallow it and run full CFG at every step)."""
+    (cfg, dit_params, adapter_params, latents, edit_tokens, prompt_emb,
+     txt_mask, special_idx, ropes, sched, (h, w)) = _setup()
+    img_cos, img_sin, txt_cos, txt_sin = ropes
+    with pytest.raises(ValueError, match="cfg_truncate_after"):
+        denoise(dit_params, cfg, latents, edit_tokens, prompt_emb, txt_mask,
+                img_cos, img_sin, txt_cos, txt_sin,
+                jnp.asarray(sched.sigmas), jnp.asarray(sched.sigmas_next),
+                jnp.asarray(sched.timesteps), jnp.asarray(4.0),
+                latent_hw=(h, w), adapter_params=adapter_params,
+                special_idx=special_idx, t_min=20.0, t_max=1000.0,
+                cfg_truncate_after=-1)
+
+
+@pytest.mark.slow
+def test_cfg_truncate_zero_is_positives_only_throughout():
+    """k=0 runs the positive rows from the very first step (the 0 < k gate
+    used to silently disable the feature) — pinned against the explicit
+    python loop with rows=1 at every step."""
+    (cfg, dit_params, adapter_params, latents, edit_tokens, prompt_emb,
+     txt_mask, special_idx, ropes, sched, (h, w)) = _setup()
+    img_cos, img_sin, txt_cos, txt_sin = ropes
+    t_min, t_max = 20.0, 1000.0
+
+    out = denoise(dit_params, cfg, latents, edit_tokens, prompt_emb, txt_mask,
+                  img_cos, img_sin, txt_cos, txt_sin,
+                  jnp.asarray(sched.sigmas), jnp.asarray(sched.sigmas_next),
+                  jnp.asarray(sched.timesteps), jnp.asarray(4.0),
+                  latent_hw=(h, w), adapter_params=adapter_params,
+                  special_idx=special_idx, t_min=t_min, t_max=t_max,
+                  cfg_truncate_after=0)
+
+    lat = latents
+    p_emb = prompt_emb
+    for i in range(sched.num_steps):
+        t = jnp.asarray(sched.timesteps[i])
+        p_emb = _rewrite_special_tokens(
+            adapter_params, p_emb[:1], special_idx[:1],
+            jnp.broadcast_to(t, (1,)), t_min, t_max)
+        toks = jnp.concatenate([patchify(lat), edit_tokens], axis=1)
+        o = jdit.dit_forward(dit_params, cfg, toks, p_emb[:1],
+                             jnp.broadcast_to(t / 1000.0, (1,)),
+                             img_cos, img_sin, txt_cos, txt_sin,
+                             txt_key_mask=txt_mask[:1])
+        v = unpatchify(o[:, : (h // 2) * (w // 2)], h, w)
+        lat = lat + v * (sched.sigmas_next[i] - sched.sigmas[i])
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(lat),
+                               rtol=2e-4, atol=2e-4)

@@ -58,6 +58,21 @@ def main() -> None:
     if missing:
         fail(f"BENCH_DETAIL.json missing keys: {missing}")
 
+    # validate TRAIN_DETAIL's schema BEFORE baseline_body consumes it so a
+    # malformed row gets the clean FAIL line, not a raw KeyError traceback
+    train_path = os.path.join(REPO, "TRAIN_DETAIL.json")
+    if os.path.exists(train_path):
+        with open(train_path) as f:
+            try:
+                tr = json.load(f)
+            except json.JSONDecodeError as e:
+                fail(f"TRAIN_DETAIL.json unparsable: {e}")
+        for rank, row in tr.items():
+            for key in ("s_per_step", "optimizer", "state_dtype",
+                        "lora_dtype", "trainable_gb", "opt_state_gb"):
+                if key not in row:
+                    fail(f"TRAIN_DETAIL.json rank {rank}: missing {key}")
+
     baseline_body = rm.baseline_body(d)
     parity_body = rm.parity_body(d)
     if "HEADLINE" not in baseline_body:
@@ -75,16 +90,6 @@ def main() -> None:
         if current is None or current.group(1).strip() != body.strip():
             fail(f"{os.path.basename(path)}: MEASURED block out of sync "
                  "with BENCH_DETAIL.json — run tools/render_measured.py")
-
-    train_path = os.path.join(REPO, "TRAIN_DETAIL.json")
-    if os.path.exists(train_path):
-        with open(train_path) as f:
-            tr = json.load(f)
-        for rank, row in tr.items():
-            for key in ("s_per_step", "optimizer", "state_dtype",
-                        "lora_dtype", "trainable_gb", "opt_state_gb"):
-                if key not in row:
-                    fail(f"TRAIN_DETAIL.json rank {rank}: missing {key}")
 
     print("[check_artifacts] OK: BENCH_DETAIL.json + rendered tables in sync")
 

@@ -51,7 +51,13 @@ def main(argv=None):
     tier = [] if a.full else ["-m", "not slow"]
     _run("tests", [sys.executable, "-m", "pytest", "tests/", "-q", *tier])
     _run("entry", [sys.executable, "__graft_entry__.py"])
-    if not a.no_dryrun:
+    if a.full and not a.no_dryrun:
+        # the full tier already subprocess-runs dryrun_multichip(8)
+        # (tests/test_graft_entry.py slow lane) — don't pay the ~4-min
+        # CPU-compile dryrun a second time
+        print("[preflight] dryrun covered by the full tier — skipping",
+              flush=True)
+    elif not a.no_dryrun:
         _run("dryrun", [sys.executable, "-c",
                         "import __graft_entry__ as g; g.dryrun_multichip(8)"])
     print("[preflight] ALL GREEN — safe to snapshot", flush=True)

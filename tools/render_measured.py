@@ -104,7 +104,10 @@ def baseline_body(d: dict) -> str:
                      "definition; answers stop at EOS)",
                      f"{d['serving_edits_per_min_typical']:.3f} "
                      "edits/min/chip"))
-    if "cfg_truncate" in d:
+    # guard: bench writes serving_item_s only for batches that fit HBM —
+    # render the row only when at least one did, instead of crashing the
+    # pre-snapshot integrity check with min() on an empty dict
+    if d.get("cfg_truncate", {}).get("serving_item_s"):
         ct = d["cfg_truncate"]
         best = min(ct["serving_item_s"].values())
         rows.append((f"OPT-IN `--cfg_truncate_step {ct['k']}` sweep serving "
