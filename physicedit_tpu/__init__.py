@@ -26,7 +26,18 @@ Package map (mirrors SURVEY.md section 7.1):
 __version__ = "0.1.0"
 
 # Convenience API surface (lazy to keep bare-package import cheap).
+_DATA_EXPORTS = (
+    # the reference re-exports these from its package root (diffsynth/__init__.py:1)
+    "VideoData", "save_video", "save_frames", "merge_video_audio",
+    "save_video_with_audio",
+)
+
+
 def __getattr__(name):
+    if name in _DATA_EXPORTS:
+        from physicedit_tpu import data as _data
+
+        return getattr(_data, name)
     if name == "PhysicEditPipeline":
         from physicedit_tpu.pipeline.edit_pipeline import PhysicEditPipeline
 

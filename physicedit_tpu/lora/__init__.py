@@ -32,12 +32,20 @@ _LORA_RE = re.compile(r"^(.*)\.lora_([AB])(?:\.default)?\.weight$")
 
 
 def collect_lora_pairs(lora_sd: dict) -> dict:
-    """{module_name: {'A': [r, in], 'B': [out, r]}} from a LoRA state dict."""
+    """{module_name: {'A': [r, in], 'B': [out, r]}} from a LoRA state dict.
+
+    Strips an optional leading ``diffusion_model.`` the way the reference's
+    GeneralLoRALoader.get_name_dict does (diffsynth/lora/__init__.py:20-21),
+    so community "opensource-format" LoRA files load unchanged.
+    """
     pairs: dict = {}
     for k, v in lora_sd.items():
         m = _LORA_RE.match(k)
         if m:
-            pairs.setdefault(m.group(1), {})[m.group(2)] = np.asarray(
+            name = m.group(1)
+            if name.startswith("diffusion_model."):
+                name = name[len("diffusion_model."):]
+            pairs.setdefault(name, {})[m.group(2)] = np.asarray(
                 v, dtype=np.float32)
     return {k: v for k, v in pairs.items() if "A" in v and "B" in v}
 

@@ -144,3 +144,28 @@ def test_init_dit_lora_respects_dtype():
                                    dtype=dt)
         dts = {str(l.dtype) for l in jax.tree_util.tree_leaves(lora)}
         assert dts == {str(jnp.dtype(dt))}, dts
+
+
+def test_collect_pairs_strips_diffusion_model_prefix():
+    """Opensource-format keys (leading `diffusion_model.`, no `.default.`)
+    resolve to the same modules as peft-format keys — the reference's
+    GeneralLoRALoader.get_name_dict semantics (diffsynth/lora/__init__.py:13-25)."""
+    rng = np.random.default_rng(0)
+    a, b = rng.standard_normal((4, 8), np.float32), rng.standard_normal((8, 4), np.float32)
+    peft = {
+        "transformer_blocks.0.attn.to_q.lora_A.default.weight": a,
+        "transformer_blocks.0.attn.to_q.lora_B.default.weight": b,
+    }
+    opensource = {
+        "diffusion_model.transformer_blocks.0.attn.to_q.lora_A.weight": a,
+        "diffusion_model.transformer_blocks.0.attn.to_q.lora_B.weight": b,
+    }
+    p1 = jlora.collect_lora_pairs(peft)
+    p2 = jlora.collect_lora_pairs(opensource)
+    assert list(p1) == list(p2) == ["transformer_blocks.0.attn.to_q"]
+    np.testing.assert_array_equal(p1[list(p1)[0]]["A"], p2[list(p2)[0]]["A"])
+
+    sd = {"transformer_blocks.0.attn.to_q.weight": np.zeros((8, 8), np.float32)}
+    merged = jlora.merge_lora_into_state_dict(sd, opensource, alpha=2.0)
+    np.testing.assert_allclose(
+        merged["transformer_blocks.0.attn.to_q.weight"], 2.0 * (b @ a), rtol=1e-6)
