@@ -516,6 +516,34 @@ def compose_serving(vl, denoise_s, vis_item_s, enc_item_s, dec_item_s,
     return out
 
 
+def _record_serving(vl, denoise_s, vis8_s, enc8_item_s, dec8_item_s, mem,
+                    detail, note=""):
+    """Compose the sweep-serving ladder, log every row, and record the
+    best fitting batch into ``detail``.  The single code path for the
+    headline and the post-B=4-measurement recompose, so the committed
+    artifact can never desynchronize from the headline math.  Returns
+    (composed, fitting {nb: item_s})."""
+    composed = compose_serving(vl, denoise_s, vis8_s, enc8_item_s,
+                               dec8_item_s, mem["base_gb"],
+                               mem["cache_item_gb"])
+    serving = {nb: c["item_s"] for nb, c in composed.items() if c["fits"]}
+    for nb, c in composed.items():
+        log(f"  [sweep serving, {nb} items/batch{note}: "
+            f"{c['item_s']:.2f}s/item -> {60/c['item_s']:.3f} "
+            f"edits/min/chip (typical 300-tok reasoner: "
+            f"{60/c['item_typical_s']:.3f})"
+            f"{'' if c['fits'] else ' — EXCEEDS single-chip HBM, not composed'}]")
+    detail["serving_item_s"] = {str(k): v for k, v in serving.items()}
+    if serving:
+        best_nb, best_item_s = min(serving.items(), key=lambda kv: kv[1])
+        detail.update(
+            serving_best_batch=best_nb,
+            serving_edits_per_min=60.0 / best_item_s,
+            serving_edits_per_min_typical=(
+                60.0 / composed[best_nb]["item_typical_s"]))
+    return composed, serving
+
+
 def _merge_detail(old, new):
     """Recursive dict merge, new values win; nested dicts (the per-batch
     ``vl`` ladder, ``cfg_truncate``, ...) merge per key so a budget-gated
@@ -666,28 +694,13 @@ def main(out_path=None, budget_s=None):
     # own benchmark mode, a PICA/KRIS sweep).  The composition math lives
     # in compose_serving() above (hermetically tested).
     mem = detail["memory"]
-    composed = compose_serving(vl, denoise_s, vis8_s, enc8_s / 8,
-                               dec8_s / 8, mem["base_gb"],
-                               mem["cache_item_gb"])
-    serving = {nb: c["item_s"] for nb, c in composed.items() if c["fits"]}
-    serving_typ = {nb: c["item_typical_s"] for nb, c in composed.items()
-                   if c["fits"]}
-    for nb, c in composed.items():
-        log(f"  [sweep serving, {nb} items/batch (config #5): "
-            f"{c['item_s']:.2f}s/item -> {60/c['item_s']:.3f} "
-            f"edits/min/chip (typical 300-tok reasoner: "
-            f"{60/c['item_typical_s']:.3f})"
-            f"{'' if c['fits'] else ' — EXCEEDS single-chip HBM, not composed'}]")
-    detail["serving_item_s"] = {str(k): v for k, v in serving.items()}
-
+    composed, serving = _record_serving(vl, denoise_s, vis8_s, enc8_s / 8,
+                                        dec8_s / 8, mem, detail,
+                                        note=" (config #5)")
     if serving:
-        best_nb, best_item_s = min(serving.items(), key=lambda kv: kv[1])
-        serving_epm = 60.0 / best_item_s
-        detail.update(serving_best_batch=best_nb,
-                      serving_edits_per_min=serving_epm,
-                      serving_edits_per_min_typical=60.0 / serving_typ[best_nb])
+        serving_epm = detail["serving_edits_per_min"]
     else:   # no batch fits — fall back to the single-edit headline
-        best_nb, serving_epm = 1, edits_per_min
+        serving_epm = edits_per_min
         detail.update(serving_best_batch=1, serving_edits_per_min=serving_epm)
 
     _write_detail(detail, out_path)
@@ -728,21 +741,8 @@ def main(out_path=None, budget_s=None):
         # recompose the serving rows with the MEASURED B=4 prompt-encode
         # prefill (the headline above used the documented 2x-B=2 fallback)
         # so the committed artifact never mixes two prefill bases
-        composed = compose_serving(vl, denoise_s, vis8_s, enc8_s / 8,
-                                   dec8_s / 8, mem["base_gb"],
-                                   mem["cache_item_gb"])
-        serving = {nb: c["item_s"] for nb, c in composed.items() if c["fits"]}
-        for nb, c in composed.items():
-            log(f"  [sweep serving, {nb} items/batch: {c['item_s']:.2f}s/item"
-                f"{'' if c['fits'] else ' — EXCEEDS single-chip HBM'}]")
-        if serving:
-            best_nb, best_item_s = min(serving.items(), key=lambda kv: kv[1])
-            detail["serving_item_s"] = {str(k): v for k, v in serving.items()}
-            detail.update(
-                serving_best_batch=best_nb,
-                serving_edits_per_min=60.0 / best_item_s,
-                serving_edits_per_min_typical=60.0 / composed[best_nb]
-                ["item_typical_s"])
+        _record_serving(vl, denoise_s, vis8_s, enc8_s / 8, dec8_s / 8,
+                        mem, detail, note=" (measured B=4 prefill)")
         _write_detail(detail, out_path)
 
     if gate("bf16 per-block differencing", 300):

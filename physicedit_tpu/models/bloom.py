@@ -183,7 +183,7 @@ def bloom_generate(params, cfg: BloomConfig, input_ids, attn_mask,
 
     mask_full = jnp.concatenate(
         [attn_mask, jnp.ones((b, max_new_tokens), attn_mask.dtype)], axis=1)
-    alibi = _alibi_bias(params, cfg, mask_full)  # [H,1,Smax]
+    alibi = _alibi_bias(params, cfg, mask_full)  # [B,H,1,Smax] (per-row)
 
     # Prefill: full pass, harvest K/V into fixed slabs.
     x = params["embed"][input_ids]

@@ -307,5 +307,7 @@ def make_prompt_refiner(spec: str | None):
         raise ValueError(
             f"--prompt_refiner expects kind:path with kind in "
             f"{sorted(REFINER_KINDS)}; got {spec!r}")
-    refiner = REFINER_KINDS[kind].from_pretrained(path)
-    return lambda prompt: refiner(prompt)
+    # The instance is already callable(prompt, **options); returning it
+    # directly keeps the keyword seam (positive=, seed=, max_new_tokens=)
+    # reachable from callers that forward options through the rewriter.
+    return REFINER_KINDS[kind].from_pretrained(path)

@@ -93,6 +93,12 @@ def denoise(
 
     def make_step(batch_l, reps_l, txt_mask_l, special_idx_l, attn_bias_l,
                   control_cond_l):
+        # EliGen carries per-CFG-row text rope tables [B, 1, s_t, 64]
+        # (edit_pipeline.py); slice them to this lane's batch so the
+        # positive-only cfg_truncate lane doesn't broadcast batch 2 text
+        # queries against batch-1 image queries.
+        txt_cos_l = txt_cos[:batch_l] if txt_cos.ndim == 4 else txt_cos
+        txt_sin_l = txt_sin[:batch_l] if txt_sin.ndim == 4 else txt_sin
         def step(carry, inputs):
             latents, prompt_emb = carry
             sigma, sigma_next, timestep, ctl_scale = inputs
@@ -126,7 +132,7 @@ def denoise(
                     if (slim_last and lora is None and control is None
                         and attn_impl != "ring") else 0)
             out = dit_forward(dit_params, cfg, img_tokens, p_emb, t_norm,
-                              img_cos, img_sin, txt_cos, txt_sin,
+                              img_cos, img_sin, txt_cos_l, txt_sin_l,
                               txt_key_mask=txt_mask_l, attn_impl=attn_impl,
                               control=control, lora=lora,
                               attn_bias=attn_bias_l,

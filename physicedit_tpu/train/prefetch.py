@@ -34,7 +34,8 @@ def prefetch_samples(dataset, indices, num_workers: int = 2,
         return
     if depth is None:
         depth = 2 * num_workers
-    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+    pool = ThreadPoolExecutor(max_workers=num_workers)
+    try:
         queue: collections.deque = collections.deque()
         it = iter(indices)
 
@@ -52,3 +53,8 @@ def prefetch_samples(dataset, indices, num_workers: int = 2,
             sample = fut.result()  # re-raises decode errors in order
             fill()
             yield i, sample
+    finally:
+        # Abandonment (exception in the consuming train loop) must not
+        # block on up-to-`depth` queued video decodes: cancel what hasn't
+        # started, wait only for the in-flight workers.
+        pool.shutdown(wait=True, cancel_futures=True)

@@ -175,6 +175,58 @@ def test_cfg_truncate_disabled_is_bit_identical():
     assert (run(cfg_truncate_after=None) == base).all()
 
 
+def test_cfg_truncate_slices_per_row_txt_rope():
+    """EliGen entity control carries per-CFG-row text rope tables
+    [B, 1, s_t, 64] (edit_pipeline.py builds them when entity prompts are
+    present).  The positive-only late lane must slice them to its batch —
+    regression for a trace-time shape mismatch (batch-2 text queries vs
+    batch-1 image queries at the truncation step)."""
+    (cfg, dit_params, adapter_params, latents, edit_tokens, prompt_emb,
+     txt_mask, special_idx, ropes, sched, (h, w)) = _setup()
+    img_cos, img_sin, txt_cos, txt_sin = ropes
+    # Per-row tables: row 0 is the plain table, row 1 gets a distinct
+    # (still valid cos/sin) table so a slicing mistake changes the result.
+    rng = np.random.default_rng(7)
+    phase = rng.uniform(0, 2 * np.pi, size=txt_cos.shape).astype(np.float32)
+    txt_cos4 = jnp.asarray(np.stack([np.asarray(txt_cos),
+                                     np.cos(phase)])[:, None])
+    txt_sin4 = jnp.asarray(np.stack([np.asarray(txt_sin),
+                                     np.sin(phase)])[:, None])
+    t_min, t_max = 20.0, 1000.0
+    cfg_scale, k = 4.0, 2
+
+    out = denoise(dit_params, cfg, latents, edit_tokens, prompt_emb, txt_mask,
+                  img_cos, img_sin, txt_cos4, txt_sin4,
+                  jnp.asarray(sched.sigmas), jnp.asarray(sched.sigmas_next),
+                  jnp.asarray(sched.timesteps), jnp.asarray(cfg_scale),
+                  latent_hw=(h, w), adapter_params=adapter_params,
+                  special_idx=special_idx, t_min=t_min, t_max=t_max,
+                  cfg_truncate_after=k)
+
+    lat = latents
+    p_emb = prompt_emb
+    for i in range(sched.num_steps):
+        rows = 2 if i < k else 1
+        t = jnp.asarray(sched.timesteps[i])
+        p_emb = _rewrite_special_tokens(
+            adapter_params, p_emb[:rows], special_idx[:rows],
+            jnp.broadcast_to(t, (rows,)), t_min, t_max)
+        toks = jnp.concatenate([patchify(lat), edit_tokens], axis=1)
+        toks = jnp.broadcast_to(toks, (rows,) + toks.shape[1:])
+        o = jdit.dit_forward(dit_params, cfg, toks, p_emb[:rows],
+                             jnp.broadcast_to(t / 1000.0, (rows,)),
+                             img_cos, img_sin,
+                             txt_cos4[:rows], txt_sin4[:rows],
+                             txt_key_mask=txt_mask[:rows])
+        v = unpatchify(o[:, : (h // 2) * (w // 2)], h, w)
+        if rows == 2:
+            v = v[1:] + cfg_scale * (v[:1] - v[1:])
+        lat = lat + v * (sched.sigmas_next[i] - sched.sigmas[i])
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(lat),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_cfg_truncate_negative_raises():
     """k < 0 is a loud error, not a silent no-op (the 0 < k gate used to
     swallow it and run full CFG at every step)."""

@@ -67,7 +67,13 @@ def main() -> None:
                 tr = json.load(f)
             except json.JSONDecodeError as e:
                 fail(f"TRAIN_DETAIL.json unparsable: {e}")
+        if not isinstance(tr, dict):
+            fail(f"TRAIN_DETAIL.json: expected rank->row dict, "
+                 f"got {type(tr).__name__}")
         for rank, row in tr.items():
+            if not isinstance(row, dict):
+                fail(f"TRAIN_DETAIL.json rank {rank}: expected row dict, "
+                     f"got {type(row).__name__}")
             for key in ("s_per_step", "optimizer", "state_dtype",
                         "lora_dtype", "trainable_gb", "opt_state_gb"):
                 if key not in row:
