@@ -39,37 +39,116 @@ def _chunk_attention_stats(q, k, v, key_mask, scale, bias_chunk=None):
     return o, m, l
 
 
-def _chunk_partials_pallas(q, k, v, key_mask):
-    """One K/V chunk through the fused fixed-max Pallas kernel
-    (kernels/flash_attention.py): returns UNNORMALISED (acc, l).
+def _ring_rotate(axis_name, n_shards, *arrays):
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    return tuple(jax.lax.ppermute(a, axis_name, perm) for a in arrays)
 
-    The fixed-max softmax has no running max, so ring partials combine by
-    plain addition — no cross-chunk max/rescale bookkeeping at all (the
-    exp2 logits are bounded by the DiT's RMS-normed q/k; the same CLAMP
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _ring_fixedmax(axis_name, n_shards, q, k, v, key_bias):
+    """Differentiable fixed-max ring attention over one mesh axis.
+
+    Per-device view inside shard_map: q/k/v [B, N, S/n, D] block-aligned,
+    key_bias [B, 1, S/n] additive (0 / NEG_INF — a non-trainable mask
+    term).  The fixed-max softmax has no running max, so ring partials
+    combine by plain addition — no cross-chunk max/rescale bookkeeping
+    (the exp2 logits are bounded by the DiT's RMS-normed q/k; the CLAMP
     guard applies pointwise, so chunked == monolithic exactly).
     """
-    from physicedit_tpu.kernels.flash_attention import (NEG_INF,
-                                                        _fixedmax_bnsd_lse,
+    out, _ = _ring_fixedmax_impl(axis_name, n_shards, q, k, v, key_bias)
+    return out
+
+
+def _ring_fixedmax_impl(axis_name, n_shards, q, k, v, key_bias):
+    from physicedit_tpu.kernels.flash_attention import (_fixedmax_bnsd_lse,
                                                         _pick_blocks)
 
-    b, n, sq, d = q.shape
-    sk = k.shape[2]
-    bq, bk = _pick_blocks(sq, sk)
-    pad_q, pad_k = (-sq) % bq, (-sk) % bk
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
-    bias = jnp.where(jnp.pad(key_mask, ((0, 0), (0, pad_k))),
+    bq, bk = _pick_blocks(q.shape[2], k.shape[2])
+
+    def step(carry, _):
+        acc, l_acc, k_cur, v_cur, bias_cur = carry
+        out_c, l_c = _fixedmax_bnsd_lse(q, k_cur, v_cur, bias_cur, bq, bk)
+        l_c = l_c[..., :1]
+        acc = acc + out_c.astype(jnp.float32) * l_c
+        l_acc = l_acc + l_c
+        k_cur, v_cur, bias_cur = _ring_rotate(axis_name, n_shards,
+                                              k_cur, v_cur, bias_cur)
+        return (acc, l_acc, k_cur, v_cur, bias_cur), None
+
+    zero = q.astype(jnp.float32) * 0.0
+    init = (zero, zero[..., :1], k, v, key_bias)
+    (acc, l, *_), _ = jax.lax.scan(step, init, None, length=n_shards)
+    out = (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+    return out, l
+
+
+def _ring_fixedmax_fwd(axis_name, n_shards, q, k, v, key_bias):
+    out, l = _ring_fixedmax_impl(axis_name, n_shards, q, k, v, key_bias)
+    return out, (q, k, v, key_bias, out, l)
+
+
+def _ring_fixedmax_bwd(axis_name, n_shards, res, g):
+    """Second ring pass: each device accumulates its local dq; the dk/dv
+    partials for the K/V chunk currently held travel WITH the chunk
+    (rotated in lockstep), so after n hops every chunk's gradient is back
+    on its home device with contributions from every query shard.  The
+    per-chunk math is the monolithic flash backward (kernels
+    _fm_bwd_dq/_fm_bwd_dkv) fed the GLOBAL softmax denominator ``l`` —
+    valid because the fixed-max P needs no per-chunk rescale."""
+    from physicedit_tpu.kernels.flash_attention import (_fm_bwd,
+                                                        _pick_blocks)
+
+    q, k, v, key_bias, out, l = res
+    bq, bk = _pick_blocks(q.shape[2], k.shape[2])
+    dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    dd8 = jnp.broadcast_to(dd[..., None], dd.shape + (8,))
+    l8 = jnp.broadcast_to(l, l.shape[:-1] + (8,))
+
+    def step(carry, _):
+        dq_acc, k_cur, v_cur, bias_cur, dk_t, dv_t = carry
+        dq_c, dk_c, dv_c = _fm_bwd(q, k_cur, v_cur, bias_cur, g, dd8, l8,
+                                   bq, bk)
+        dq_acc = dq_acc + dq_c.astype(jnp.float32)
+        dk_t = dk_t + dk_c.astype(jnp.float32)
+        dv_t = dv_t + dv_c.astype(jnp.float32)
+        k_cur, v_cur, bias_cur, dk_t, dv_t = _ring_rotate(
+            axis_name, n_shards, k_cur, v_cur, bias_cur, dk_t, dv_t)
+        return (dq_acc, k_cur, v_cur, bias_cur, dk_t, dv_t), None
+
+    zero_q = q.astype(jnp.float32) * 0.0
+    zero_k = k.astype(jnp.float32) * 0.0
+    init = (zero_q, k, v, key_bias, zero_k, zero_k)
+    (dq, _, _, _, dk, dv), _ = jax.lax.scan(step, init, None,
+                                            length=n_shards)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            jnp.zeros_like(key_bias))
+
+
+_ring_fixedmax.defvjp(_ring_fixedmax_fwd, _ring_fixedmax_bwd)
+
+
+def _ring_pallas_body(axis_name, n_shards, q, k, v, key_mask):
+    """Pad to the kernel's block grid, run the differentiable fixed-max
+    ring, slice back.  Autodiff handles the pad/slice around the
+    custom-VJP boundary."""
+    from physicedit_tpu.kernels.flash_attention import NEG_INF, _pick_blocks
+
+    sq = q.shape[2]
+    bq, bk = _pick_blocks(sq, sq)
+    pad = (-sq) % max(bq, bk)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    bias = jnp.where(jnp.pad(key_mask, ((0, 0), (0, pad))),
                      0.0, NEG_INF)[:, None, :].astype(jnp.float32)
-    out, l = _fixedmax_bnsd_lse(qp, kp, vp, bias, bq, bk)
-    out = out[:, :, :sq].astype(jnp.float32)
-    l = l[:, :, :sq, :1]
-    return out * l, l
+    out = _ring_fixedmax(axis_name, n_shards, qp, kp, vp, bias)
+    return out[:, :, :sq]
 
 
 def _ring_body(axis_name, q, k, v, key_mask, scale, n_shards,
                impl: str = "xla", bias=None):
-    use_pallas = impl == "pallas"
+    if impl == "pallas":
+        return _ring_pallas_body(axis_name, n_shards, q, k, v, key_mask)
     if bias is not None:
         # bias: [B, Sq_local, S_full] — this device's query rows against ALL
         # key columns.  The column block for ring step t is the chunk this
@@ -85,23 +164,15 @@ def _ring_body(axis_name, q, k, v, key_mask, scale, n_shards,
                                                       axis=2)
         else:
             bias_chunk = None
-        if use_pallas:
-            acc, l = _chunk_partials_pallas(q, k_cur, v_cur, mask_cur)
-            o_acc = o_acc + acc
-            l_acc = l_acc + l
-            m_new = m_acc                      # unused in the fixed-max lane
-        else:
-            o, m, l = _chunk_attention_stats(q, k_cur, v_cur, mask_cur, scale,
-                                             bias_chunk)
-            m_new = jnp.maximum(m_acc, m)
-            alpha_acc = jnp.exp(m_acc - m_new)
-            alpha = jnp.exp(m - m_new)
-            o_acc = o_acc * alpha_acc + o * alpha
-            l_acc = l_acc * alpha_acc + l * alpha
-        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
-        mask_cur = jax.lax.ppermute(mask_cur, axis_name, perm)
+        o, m, l = _chunk_attention_stats(q, k_cur, v_cur, mask_cur, scale,
+                                         bias_chunk)
+        m_new = jnp.maximum(m_acc, m)
+        alpha_acc = jnp.exp(m_acc - m_new)
+        alpha = jnp.exp(m - m_new)
+        o_acc = o_acc * alpha_acc + o * alpha
+        l_acc = l_acc * alpha_acc + l * alpha
+        k_cur, v_cur, mask_cur = _ring_rotate(axis_name, n_shards,
+                                              k_cur, v_cur, mask_cur)
         return (o_acc, m_acc * 0 + m_new, l_acc, k_cur, v_cur, mask_cur), None
 
     # Derive the accumulators from q so they carry the same varying-manual-
@@ -119,7 +190,9 @@ def ring_attention(q, k, v, key_mask, mesh: Mesh, axis: str = "model",
 
     S must divide evenly by the axis size (pad + mask first).
     impl: "pallas" fuses each per-chunk attention into the fixed-max flash
-    kernel (partials add — no cross-chunk rescale); "xla" keeps the dense
+    kernel (partials add — no cross-chunk rescale) and is differentiable
+    (custom VJP: a second ring pass rotates dk/dv partials with their
+    chunk — SP training stays on the fused kernel); "xla" keeps the dense
     online-softmax chunk.  Default: pallas on TPU with head_dim 128.
     bias: optional head-shared additive [B, S, S] (EliGen entity masks,
     qwen_image_dit.py:433-498): sharded on the QUERY axis; each ring step

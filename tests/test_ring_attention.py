@@ -186,3 +186,44 @@ def test_ring_attention_pallas_chunks_match_full(monkeypatch):
     np.testing.assert_allclose(np.asarray(out)[:, :, mask[0]],
                                np.asarray(ref)[:, :, mask[0]],
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ring_attention_pallas_grad_matches_xla(monkeypatch):
+    """The fixed-max Pallas ring lane is differentiable: its custom VJP
+    (second ring pass, dk/dv partials rotating with their chunk) must
+    match autodiff through the dense full-attention reference — SP
+    TRAINING stays on the fused kernel instead of the dense chunk."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+
+    mesh = sh.create_mesh(1, 8)
+    rng = np.random.default_rng(5)
+    b, n, s, d = 1, 2, 8 * 128, 128       # head_dim 128 = the kernel's tile
+    q = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    mask = np.ones((b, s), bool)
+    mask[0, 900:] = False                 # tail spanning the last shard
+    mask_j = jnp.asarray(mask)
+    cot = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    cot = cot * mask_j[:, None, :, None]  # no cotangent on masked rows
+
+    def loss_ring(q_, k_, v_):
+        out = ra.ring_attention(q_, k_, v_, mask_j, mesh,
+                                axis=sh.MODEL_AXIS, impl="pallas")
+        return jnp.sum(out * cot)
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(sdpa_bnsd(q_, k_, v_, key_mask=mask_j) * cot)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gr, gf, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gf),
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg=f"d{name} mismatch")
