@@ -61,6 +61,17 @@ def test_pipeline_with_eligen_runs():
     assert out.size == (64, 64)
     assert np.isfinite(np.asarray(out)).all()
 
+    # cfg_truncate composes with entity control: the positive-only late
+    # lane must slice the per-CFG-row text rope tables (regression for a
+    # trace-time shape mismatch at the truncation step).
+    out_t = pipe("move the cup", edit_image=edit, height=64, width=64,
+                 seed=1, num_inference_steps=2, have_text_reasoning=False,
+                 edit_image_auto_resize=False,
+                 eligen_entity_prompts=["a red cup"],
+                 eligen_entity_masks=[mask], cfg_truncate_step=1)
+    assert out_t.size == (64, 64)
+    assert np.isfinite(np.asarray(out_t)).all()
+
 
 def test_flash_bias_kernel_matches_xla():
     import functools
