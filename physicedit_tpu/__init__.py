@@ -51,3 +51,8 @@ def __getattr__(name):
 
         return TrainConfig
     raise AttributeError(name)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_DATA_EXPORTS)
+                  | {"PhysicEditPipeline", "Trainer", "TrainConfig"})
