@@ -32,8 +32,13 @@ def _ln(p, x):
     return layer_norm(x, eps=1e-5, scale=p["scale"], bias=p["bias"])
 
 
-def perceiver_attention(p, x, latents, heads: int = 8, dim_head: int = 64):
-    """Cross-attention: latents query (media + latents) (helpers.py:21-65)."""
+def perceiver_attention(p, x, latents, heads: int = 8, dim_head: int = 64,
+                        media_mask=None):
+    """Cross-attention: latents query (media + latents) (helpers.py:21-65).
+
+    media_mask: optional [B, N] bool — False media tokens are excluded
+    from the keys (zero-padded frames in fixed-shape training batches;
+    the reference never pads, torch shapes are dynamic)."""
     b, m, _ = latents.shape
     xn = _ln(p["norm_media"], x)
     ln = _ln(p["norm_latents"], latents)
@@ -49,6 +54,10 @@ def perceiver_attention(p, x, latents, heads: int = 8, dim_head: int = 64):
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
     logits = jnp.einsum("bhid,bhjd->bhij", q, k,
                         preferred_element_type=jnp.float32) * (dim_head ** -0.5)
+    if media_mask is not None:
+        full = jnp.concatenate(
+            [media_mask, jnp.ones((b, m), bool)], axis=1)  # latents valid
+        logits = jnp.where(full[:, None, None, :], logits, -1e30)
     logits = logits - jax.lax.stop_gradient(logits.max(axis=-1, keepdims=True))
     attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhij,bhjd->bhid", attn, v)
@@ -63,13 +72,18 @@ def perceiver_ff(p, x):
     return linear(p["fc2"], x)
 
 
-def perceiver_resampler(p, x, heads: int = 8, dim_head: int = 64):
-    """x: [B, N, dim] media tokens -> [B, num_latents, dim]."""
+def perceiver_resampler(p, x, heads: int = 8, dim_head: int = 64,
+                        media_mask=None):
+    """x: [B, N, dim] media tokens -> [B, num_latents, dim].
+
+    media_mask: optional [B, N] bool key-validity mask (see
+    perceiver_attention)."""
     b, n, _ = x.shape
     latents = jnp.broadcast_to(p["latents"], (b,) + p["latents"].shape)
     x = x + p["pos_emb"][:n][None, :, :].astype(x.dtype)
     for layer in p["layers"]:
-        latents = latents + perceiver_attention(layer["attn"], x, latents, heads, dim_head)
+        latents = latents + perceiver_attention(layer["attn"], x, latents,
+                                                heads, dim_head, media_mask)
         latents = latents + perceiver_ff(layer["ff"], latents)
     return _ln(p["norm"], latents)
 

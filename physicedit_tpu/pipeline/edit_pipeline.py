@@ -548,6 +548,14 @@ class PhysicEditPipeline:
         ids, hidden = self._vl_hidden(P.T2I_TEMPLATE.format(prompt), [])
         return hidden[self.t2i_drop_idx:], None
 
+    def encode_prompt_batch(self, prompts: list):
+        """Batched T2I-path prompt encoding: ONE bucketed text_forward for
+        all rows (EliGen encodes every entity prompt this way instead of N
+        sequential B=1 forwards).  Returns [emb [S_i, 3584], ...]."""
+        rows = [(P.T2I_TEMPLATE.format(p), [], None, None) for p in prompts]
+        return [hidden[self.t2i_drop_idx:]
+                for _ids, hidden in self._vl_hidden_batch(rows)]
+
     def encode_prompt_edit_multi(self, prompt: str, edit_images: list):
         """Multi-image edit prompt ("Picture i:" convention,
         qwen_image_physical.py:802-813).  No special-token suffix here,
@@ -785,7 +793,7 @@ class PhysicEditPipeline:
         if eligen_entity_prompts and eligen_entity_masks:
             from physicedit_tpu.pipeline import eligen as EL
 
-            entity_embs = [self.encode_prompt(p)[0] for p in eligen_entity_prompts]
+            entity_embs = self.encode_prompt_batch(eligen_entity_prompts)
             ent_lens = [e.shape[0] for e in entity_embs]
             offset = int(np.sum(ent_lens))
             seq_lens_p = ent_lens + [emb_p.shape[0]]
@@ -833,18 +841,9 @@ class PhysicEditPipeline:
 
         embs = [emb_p, emb_n] if use_cfg else [emb_p]
         specials = [special_p, special_n] if use_cfg else [special_p]
-        s_t = max(e.shape[0] for e in embs)
-        # Bucket the padded text length so varying prompt lengths reuse the
-        # same compiled denoise program (key-side masking keeps the padded
-        # form mathematically identical to the unpadded one).
-        bkt = self.txt_len_bucket
-        s_t = ((s_t + bkt - 1) // bkt) * bkt
-        b = len(embs)
-        prompt_emb = np.zeros((b, s_t, embs[0].shape[1]), np.float32)
-        txt_mask = np.zeros((b, s_t), bool)
-        for i, e in enumerate(embs):
-            prompt_emb[i, : e.shape[0]] = e
-            txt_mask[i, : e.shape[0]] = True
+        prompt_emb, txt_mask = vl_host.bucket_pad_text(embs,
+                                                      self.txt_len_bucket)
+        b, s_t = txt_mask.shape
 
         if bias_p is not None:
             def place(bias, txt_len):
@@ -1005,15 +1004,9 @@ class PhysicEditPipeline:
         embs = [e for e, _ in enc]
         specials = [sp for _, sp in enc]
 
-        bkt = self.txt_len_bucket
-        s_t = max(e.shape[0] for e in embs)
-        s_t = ((s_t + bkt - 1) // bkt) * bkt
-        b = len(embs)
-        prompt_emb = np.zeros((b, s_t, embs[0].shape[1]), np.float32)
-        txt_mask = np.zeros((b, s_t), bool)
-        for i, e in enumerate(embs):
-            prompt_emb[i, : e.shape[0]] = e
-            txt_mask[i, : e.shape[0]] = True
+        prompt_emb, txt_mask = vl_host.bucket_pad_text(embs,
+                                                       self.txt_len_bucket)
+        b, s_t = txt_mask.shape
 
         adapter_params = self.adapters.get("visual_thinking_adapter")
         special_idx = None

@@ -105,7 +105,14 @@ def parse_reasoner_response(response: str) -> dict:
         raise ValueError(f"no JSON object in response: {response[:200]}")
     data = json.loads(response[start:end + 1])
 
-    allowed = {f for fields in ACCEPTED_FIELD_SETS for f in fields}
+    # DETERMINISTIC field order (declaration order, dict-deduped).  The
+    # reference iterates a set comprehension here (qwen_image_physical.py:892)
+    # whose str order is hash-salted per process — the appended conditioning
+    # text (and so the image) would differ between runs/hosts; on a
+    # multihost SPMD mesh that would make processes embed different prompts
+    # and diverge.  Documented divergence: we pin declaration order.
+    allowed = list(dict.fromkeys(
+        f for fields in ACCEPTED_FIELD_SETS for f in fields))
     result = {}
     for key in allowed:
         value = data.get(key)

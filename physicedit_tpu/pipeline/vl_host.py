@@ -153,3 +153,25 @@ def scatter_vision_features(token_embeds: np.ndarray, input_ids: np.ndarray,
         f"{mask.sum()} image tokens vs {vision_features.shape[0]} features")
     out[mask] = vision_features
     return out
+
+
+def bucket_pad_text(embs: list, bucket: int) -> tuple[np.ndarray, np.ndarray]:
+    """Right-pad text rows to a shared /bucket length; build the key mask.
+
+    Rounding the longest row up to ``bucket`` lets varying prompt lengths
+    reuse the same compiled denoise/train program, and key-side masking
+    keeps the padded form mathematically identical to the unpadded one.
+    The single implementation for single-edit, batched serving, and the
+    trainer (the bucket SIZE may differ per caller, the contract may not).
+
+    Returns (prompt_emb [B, S, D] float32, txt_mask [B, S] bool).
+    """
+    s_t = max(e.shape[0] for e in embs)
+    s_t = ((s_t + bucket - 1) // bucket) * bucket
+    b = len(embs)
+    prompt_emb = np.zeros((b, s_t, embs[0].shape[1]), np.float32)
+    txt_mask = np.zeros((b, s_t), bool)
+    for i, e in enumerate(embs):
+        prompt_emb[i, : e.shape[0]] = e
+        txt_mask[i, : e.shape[0]] = True
+    return prompt_emb, txt_mask

@@ -268,7 +268,11 @@ class ImageEditDataset:
                 if p.suffix.lower() in IMAGE_EXTS:
                     txt = p.with_suffix(".txt")
                     prompt = txt.read_text().strip() if txt.exists() else ""
-                    records.append({"image": str(p), "prompt": prompt})
+                    # base-RELATIVE like metadata records: __getitem__
+                    # joins self.base back on (a str(p) here would
+                    # double-join under a relative base_path)
+                    records.append({"image": str(p.relative_to(self.base)),
+                                    "prompt": prompt})
             return records
         from physicedit_tpu.train.unified_dataset import load_metadata_records
 

@@ -28,17 +28,25 @@ from physicedit_tpu.models.dit import DiTConfig, dit_forward
 from physicedit_tpu.ops.patchify import patchify, unpatchify
 
 
-def _prior_branch(resampler_p, adapter_p, time_embed, feats):
+def _prior_branch(resampler_p, adapter_p, time_embed, feats,
+                  frame_mask=None):
     """feats: [B, F, N, dim] -> [B, 64, 3584] pseudo embedding.
 
     Frame-index embedding added per frame, frames flattened into one media
     sequence, Perceiver + projector (qwen_image_physical.py:1068-1117).
+    frame_mask: optional [B, F] bool — zero-padded frames (samples with
+    fewer than MAX_KEY_FRAMES key frames in a fixed-shape batch) are
+    masked out of the resampler keys; the reference never pads.
     """
     b, f, n, d = feats.shape
     if time_embed is not None:
         feats = feats + time_embed[:f][None, :, None, :].astype(feats.dtype)
     tokens = feats.reshape(b, f * n, d)
-    return visual_thinking_adapter(adapter_p, perceiver_resampler(resampler_p, tokens))
+    media_mask = (None if frame_mask is None
+                  else jnp.repeat(frame_mask, n, axis=1))
+    return visual_thinking_adapter(
+        adapter_p, perceiver_resampler(resampler_p, tokens,
+                                       media_mask=media_mask))
 
 
 def compute_pseudo_targets(adapters: dict, batch: dict):
@@ -47,14 +55,17 @@ def compute_pseudo_targets(adapters: dict, batch: dict):
       dino_mid_feats [B, F, N, 768], dino_src_feats [B, 1, N, 768]
       vae_mid_tokens [B, F, S, 64],  vae_src_tokens [B, 1, S, 64]
     """
+    fmask = batch.get("mid_frame_mask")  # [B, F] bool or None (all real)
     gt_dino = (
         _prior_branch(adapters["dino_resampler"], adapters["dino_resampler_adapter"],
-                      adapters["dino_time_embed"], batch["dino_mid_feats"])
+                      adapters["dino_time_embed"], batch["dino_mid_feats"],
+                      frame_mask=fmask)
         - _prior_branch(adapters["dino_resampler"], adapters["dino_resampler_adapter"],
                         None, batch["dino_src_feats"]))
     gt_vae = (
         _prior_branch(adapters["vae_resampler"], adapters["vae_resampler_adapter"],
-                      adapters["vae_time_embed"], batch["vae_mid_tokens"])
+                      adapters["vae_time_embed"], batch["vae_mid_tokens"],
+                      frame_mask=fmask)
         - _prior_branch(adapters["vae_resampler"], adapters["vae_resampler_adapter"],
                         None, batch["vae_src_tokens"]))
     return gt_dino, gt_vae

@@ -254,6 +254,12 @@ class Trainer:
 
         # Train-time verbal conditioning comes from the dataset triplet
         # (qwen_image_physical.py:976-983), not a live VLM generation.
+        # NOTE the reference-faithful quirks: the text is concatenated to
+        # the prompt with NO separator (prompt += physical_txt,
+        # qwen_image_physical.py:818) and uses title-case labels, while
+        # inference appends "\nmiddle_transition_prompt: ..." — the
+        # reference trains and infers on different conditioning formats,
+        # and the exported adapters expect exactly this.
         triplet = sample.get("triplet") or {}
         physical_txt = (
             f"Middle Transition Prompt: {triplet.get('middle_transition_prompt', '')}\n"
@@ -284,9 +290,12 @@ class Trainer:
         vae_mid = np.asarray(patchify(mid_lat))
         vae_src = np.asarray(edit_tokens)
 
-        # Pad frames to MAX_KEY_FRAMES with zeros (masked by the resampler's
-        # attention softly; matches the <=6 frame budget).
+        # Pad frames to MAX_KEY_FRAMES with zeros for the fixed-shape jit
+        # batch; mid_frame_mask excludes the pad from the resampler keys
+        # (the reference never pads — torch shapes are dynamic), so the
+        # pseudo targets match compute_visual_priors on the real frames.
         f = feats_mid.shape[0]
+        mid_frame_mask = np.arange(MAX_KEY_FRAMES) < f
         if f < MAX_KEY_FRAMES:
             feats_mid = np.concatenate(
                 [feats_mid, np.zeros((MAX_KEY_FRAMES - f,) + feats_mid.shape[1:],
@@ -295,14 +304,11 @@ class Trainer:
                 [vae_mid, np.zeros((MAX_KEY_FRAMES - f,) + vae_mid.shape[1:],
                                    vae_mid.dtype)], 0)
 
-        # Bucket the text length.
-        s_t = emb.shape[0]
-        bucket = ((s_t + self.cfg.txt_len_bucket - 1)
-                  // self.cfg.txt_len_bucket) * self.cfg.txt_len_bucket
-        prompt_emb = np.zeros((1, bucket, emb.shape[1]), np.float32)
-        prompt_emb[0, :s_t] = emb
-        txt_mask = np.zeros((1, bucket), bool)
-        txt_mask[0, :s_t] = True
+        # Bucket the text length (shared contract with the pipeline).
+        from physicedit_tpu.pipeline.vl_host import bucket_pad_text
+
+        prompt_emb, txt_mask = bucket_pad_text([emb], self.cfg.txt_len_bucket)
+        bucket = txt_mask.shape[1]
 
         h, w = input_latents.shape[1], input_latents.shape[2]
         eh, ew = edit_latents.shape[1], edit_latents.shape[2]
@@ -326,6 +332,7 @@ class Trainer:
             "dino_src_feats": jnp.asarray(feats_src[None]),
             "vae_mid_tokens": jnp.asarray(vae_mid[None]),
             "vae_src_tokens": jnp.asarray(vae_src[None]),
+            "mid_frame_mask": jnp.asarray(mid_frame_mask[None]),
             "img_cos": jnp.asarray(ropes[0]), "img_sin": jnp.asarray(ropes[1]),
             "txt_cos": jnp.asarray(ropes[2]), "txt_sin": jnp.asarray(ropes[3]),
         }

@@ -16,6 +16,15 @@ def test_parse_accepted_field_sets():
         '"final_state_prompt": "c"} trailing')
     assert set(ok) == {"physical_reasoning", "middle_transition_prompt",
                        "final_state_prompt"}
+    # deterministic field order (declaration order) — the conditioning text
+    # must not depend on per-process str-hash salt (multihost SPMD safety);
+    # JSON key order in the response must not matter either
+    assert list(ok) == ["Reasoning", "physical_reasoning",
+                        "middle_transition_prompt", "final_state_prompt"][1:]
+    ok2 = P.parse_reasoner_response(
+        '{"final_state_prompt": "c", "middle_transition_prompt": "b", '
+        '"physical_reasoning": "a"}')
+    assert list(ok2) == list(ok)
     ok = P.parse_reasoner_response('{"Reasoning": " r "}')
     assert ok == {"Reasoning": "r"}
 

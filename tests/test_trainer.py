@@ -435,3 +435,34 @@ def test_adafactor_optimizer_tiny_state_and_descends():
 
     with pytest.raises(ValueError):
         make_optimizer(name="sgd")
+
+
+def test_pseudo_targets_mask_padded_frames(trainer):
+    """Samples with fewer than MAX_KEY_FRAMES key frames: the zero-padded
+    ghost frames must be excluded from the resampler keys (mid_frame_mask),
+    so the fixed-shape padded batch produces the SAME pseudo targets as an
+    unpadded computation on the real frames only (what the reference's
+    dynamic-shape torch path does)."""
+    from physicedit_tpu.train.loss import compute_pseudo_targets
+    from physicedit_tpu.train.trainer import init_trainable
+
+    batch = trainer.preprocess(SyntheticDataset()[0])
+    fmask = np.asarray(batch["mid_frame_mask"])[0]
+    f = int(fmask.sum())
+    assert f == 3 and fmask.shape[0] == 6  # the pad path is exercised
+
+    trainable = init_trainable(trainer.pipe, trainer.cfg)
+    adapters = trainable["adapters"]
+
+    gt_dino_pad, gt_vae_pad = compute_pseudo_targets(adapters, batch)
+
+    unpadded = dict(batch)
+    unpadded["dino_mid_feats"] = batch["dino_mid_feats"][:, :f]
+    unpadded["vae_mid_tokens"] = batch["vae_mid_tokens"][:, :f]
+    del unpadded["mid_frame_mask"]
+    gt_dino_ref, gt_vae_ref = compute_pseudo_targets(adapters, unpadded)
+
+    np.testing.assert_allclose(np.asarray(gt_dino_pad),
+                               np.asarray(gt_dino_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gt_vae_pad),
+                               np.asarray(gt_vae_ref), rtol=1e-4, atol=1e-4)

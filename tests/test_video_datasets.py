@@ -144,3 +144,22 @@ def test_physictran_decodes_real_video_file(tmp_path):
     assert item["edit_image"].size == (32, 32)
     assert len(item["middle_key_frames"]) >= 1
     assert item["stitched_image"].size[0] > 0
+
+
+def test_image_edit_dataset_autopair_relative_base(tmp_path, monkeypatch):
+    """Auto-pair mode (no metadata) stores base-RELATIVE paths so
+    __getitem__'s `base / path` join resolves under a RELATIVE base_path —
+    regression for a double-join (data/imgs/data/imgs/x.png)."""
+    from physicedit_tpu.train.dataset import ImageEditDataset
+
+    d = tmp_path / "imgs" / "sub"
+    d.mkdir(parents=True)
+    _frame(0).save(d / "a.png")
+    (d / "a.txt").write_text("tip the cup")
+
+    monkeypatch.chdir(tmp_path)
+    ds = ImageEditDataset("imgs", height=32, width=32)  # relative base
+    assert len(ds) == 1
+    rec = ds[0]
+    assert rec["prompt"] == "tip the cup"
+    assert rec["image"].size == (32, 32)
