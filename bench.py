@@ -544,12 +544,23 @@ def _record_serving(vl, denoise_s, vis8_s, enc8_item_s, dec8_item_s, mem,
     return composed, serving
 
 
+# Sections that are recomputed WHOLESALE whenever they appear in a new
+# run (every serving row / every cfg_truncate field is re-derived by one
+# _record_serving / truncate pass).  Merging them per-key could leave
+# stale rows from an older run (e.g. a batch size the new run no longer
+# composes) next to fresh scalars — these replace instead.
+_REPLACE_SECTIONS = {"serving_item_s", "cfg_truncate"}
+
+
 def _merge_detail(old, new):
     """Recursive dict merge, new values win; nested dicts (the per-batch
-    ``vl`` ladder, ``cfg_truncate``, ...) merge per key so a budget-gated
-    run that skipped an extra keeps the previously measured value."""
+    ``vl`` ladder, ...) merge per key so a budget-gated run that skipped
+    an extra keeps the previously measured value.  Sections the bench
+    always recomputes wholesale (_REPLACE_SECTIONS) are replaced, not
+    merged, so no stale per-batch row survives next to fresh scalars."""
     for k, v in new.items():
-        if isinstance(v, dict) and isinstance(old.get(k), dict):
+        if (isinstance(v, dict) and isinstance(old.get(k), dict)
+                and k not in _REPLACE_SECTIONS):
             _merge_detail(old[k], v)
         else:
             old[k] = v
@@ -579,8 +590,14 @@ def _write_detail(detail, out_path):
     try:
         with open(out_path) as f:
             merged = _merge_detail(json.load(f), merged)
-    except (OSError, ValueError):
+    except FileNotFoundError:
         pass
+    except (OSError, ValueError) as e:
+        # Leave a trace before discarding the prior artifact: an unattended
+        # budget-gated run overwriting a corrupt file with only the current
+        # run's keys would otherwise silently shrink the committed artifact.
+        log(f"WARNING: existing detail artifact {out_path} unreadable "
+            f"({e!r}) — overwriting with this run's measurements only")
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1)
 

@@ -92,11 +92,18 @@ class LowMemoryVideo:
 
         self.reader = imageio.get_reader(file_name)
 
+    def _live_reader(self):
+        if self.reader is None:
+            raise ValueError("reader is closed (LowMemoryVideo used after "
+                             "close() / context exit)")
+        return self.reader
+
     def __len__(self):
-        return self.reader.count_frames()
+        return self._live_reader().count_frames()
 
     def __getitem__(self, item):
-        return Image.fromarray(np.asarray(self.reader.get_data(item))).convert("RGB")
+        return Image.fromarray(
+            np.asarray(self._live_reader().get_data(item))).convert("RGB")
 
     def close(self):
         reader = getattr(self, "reader", None)

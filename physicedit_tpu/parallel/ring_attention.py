@@ -148,6 +148,11 @@ def _ring_pallas_body(axis_name, n_shards, q, k, v, key_mask):
 def _ring_body(axis_name, q, k, v, key_mask, scale, n_shards,
                impl: str = "xla", bias=None):
     if impl == "pallas":
+        # The fixed-max kernel recomputes scale internally and has no bias
+        # operand; ring_attention() routes biased calls to the xla lane.
+        # Enforce the invariant here so a future direct caller can't have a
+        # bias silently dropped.
+        assert bias is None, "pallas ring body does not support a bias"
         return _ring_pallas_body(axis_name, n_shards, q, k, v, key_mask)
     if bias is not None:
         # bias: [B, Sq_local, S_full] — this device's query rows against ALL

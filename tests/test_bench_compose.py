@@ -236,3 +236,60 @@ def test_write_detail_merges_into_existing(tmp_path):
     assert got["old_only"] is True
     assert got["denoise_s"] == 74.9
     assert got["dinov2_s"] == 0.03
+
+
+def test_write_detail_replaces_recomputed_sections(tmp_path):
+    """Sections the bench recomputes wholesale (serving_item_s,
+    cfg_truncate) must REPLACE, not merge: a new run that composes fewer
+    batches must not keep a stale per-batch row from an older run next to
+    fresh scalars (advisor r4)."""
+    import json
+
+    p = tmp_path / "detail.json"
+    with open(p, "w") as f:
+        json.dump({"serving_item_s": {"8": 76.3, "12": 99.0},
+                   "cfg_truncate": {"k": 30, "denoise_s": 66.0,
+                                    "serving_item_s": {"12": 88.0}}}, f)
+    bench._write_detail({"serving_item_s": {"8": 70.0},
+                         "cfg_truncate": {"k": 30, "denoise_s": 60.0,
+                                          "serving_item_s": {"8": 65.0}}},
+                        str(p))
+    with open(p) as f:
+        got = json.load(f)
+    assert got["serving_item_s"] == {"8": 70.0}
+    assert got["cfg_truncate"]["serving_item_s"] == {"8": 65.0}
+
+
+def test_write_detail_warns_on_corrupt_existing(tmp_path, capsys):
+    """A corrupt existing artifact is overwritten — but with a visible
+    warning, so an unattended run leaves a trace of the discarded prior
+    content (advisor r4)."""
+    import json
+
+    p = tmp_path / "detail.json"
+    p.write_text("{not json")
+    bench._write_detail({"denoise_s": 74.9}, str(p))
+    with open(p) as f:
+        assert json.load(f) == {"denoise_s": 74.9}
+    assert "unreadable" in capsys.readouterr().err
+
+
+def test_lowmemory_video_closed_reader_raises_value_error(tmp_path):
+    """__getitem__/__len__ after close() raise a clear ValueError, not an
+    opaque NoneType AttributeError (advisor r4)."""
+    import numpy as np
+    import pytest
+
+    imageio = pytest.importorskip("imageio")
+    from physicedit_tpu.data.video import LowMemoryVideo
+
+    path = tmp_path / "clip.gif"
+    frames = [np.zeros((8, 8, 3), np.uint8), np.ones((8, 8, 3), np.uint8)]
+    imageio.mimsave(str(path), frames)
+    v = LowMemoryVideo(str(path))
+    assert v[0].size == (8, 8)
+    v.close()
+    with pytest.raises(ValueError, match="closed"):
+        v[0]
+    with pytest.raises(ValueError, match="closed"):
+        len(v)
