@@ -78,6 +78,84 @@ class ModelConfig:
         _barrier()
 
 
+# ---------------------------------------------------------------------------
+# Preset rows: the Qwen-Image family by name.
+#
+# Mirrors the reference's by-name model resolution for the PhysicEdit
+# stack (scripts/inference/validate.py:94-125 assembles exactly these
+# (model_id, origin_file_pattern) rows; the generic preset machinery is
+# configs/model_config.py:15-33).  Pure data — downloads stay gated on a
+# hub library being importable (ModelConfig._download above).
+# ---------------------------------------------------------------------------
+
+_QI = "Qwen/Qwen-Image"
+_QIE = "Qwen/Qwen-Image-Edit"
+_QIE2509 = "Qwen/Qwen-Image-Edit-2509"
+_TEXT_ROW = (_QI, "text_encoder/model*.safetensors")
+_VAE_ROW = (_QI, "vae/diffusion_pytorch_model.safetensors")
+_TOKENIZER_ROW = (_QI, "tokenizer/")
+_PROCESSOR_ROW = (_QIE, "processor/")
+
+QWEN_IMAGE_PRESETS = {
+    # PhysicEdit's base model (validate.py:98-124, inference_pica.py,
+    # inference_kris.py): Edit-2509 transformer + Qwen-Image encoder/VAE.
+    _QIE2509: {
+        "model_configs": [
+            (_QIE2509, "transformer/diffusion_pytorch_model*.safetensors"),
+            _TEXT_ROW, _VAE_ROW,
+        ],
+        "tokenizer": _TOKENIZER_ROW,
+        "processor": _PROCESSOR_ROW,
+    },
+    # First-generation edit model (same satellite files).
+    _QIE: {
+        "model_configs": [
+            (_QIE, "transformer/diffusion_pytorch_model*.safetensors"),
+            _TEXT_ROW, _VAE_ROW,
+        ],
+        "tokenizer": _TOKENIZER_ROW,
+        "processor": _PROCESSOR_ROW,
+    },
+    # Text-to-image base (no edit processor).
+    _QI: {
+        "model_configs": [
+            (_QI, "transformer/diffusion_pytorch_model*.safetensors"),
+            _TEXT_ROW, _VAE_ROW,
+        ],
+        "tokenizer": _TOKENIZER_ROW,
+        "processor": None,
+    },
+}
+
+
+def qwen_image_preset(model_id: str, local_model_path: str = "./models",
+                      skip_download: bool = False) -> dict:
+    """Resolve a Qwen-Image family name into its ModelConfig rows.
+
+    Returns {"model_configs": [ModelConfig, ...], "tokenizer_config":
+    ModelConfig, "processor_config": ModelConfig | None}.  Raises KeyError
+    with the known names for an unknown id.
+    """
+    if model_id not in QWEN_IMAGE_PRESETS:
+        raise KeyError(
+            f"unknown preset model_id {model_id!r}; known presets: "
+            f"{sorted(QWEN_IMAGE_PRESETS)}")
+    rows = QWEN_IMAGE_PRESETS[model_id]
+
+    def mk(row):
+        mid, pattern = row
+        return ModelConfig(model_id=mid, origin_file_pattern=pattern,
+                           local_model_path=local_model_path,
+                           skip_download=skip_download)
+
+    return {
+        "model_configs": [mk(r) for r in rows["model_configs"]],
+        "tokenizer_config": mk(rows["tokenizer"]),
+        "processor_config": (mk(rows["processor"])
+                             if rows["processor"] else None),
+    }
+
+
 def _process_index() -> int:
     import jax
 

@@ -101,20 +101,49 @@ class PhysicEditPipeline:
     # ------------------------------------------------------------------
 
     @classmethod
-    def from_pretrained(cls, model_paths: list, tokenizer_path: str | None = None,
+    def from_pretrained(cls, model_paths: list | None = None,
+                        tokenizer_path: str | None = None,
                         dtype=jnp.bfloat16, attn_impl: str = "xla",
                         lora_path: str | None = None,
                         finetuned_path: str | None = None,
-                        quantize: str | None = None):
+                        quantize: str | None = None,
+                        model_id: str | None = None,
+                        local_model_path: str = "./models",
+                        skip_download: bool = False):
         """Build the pipeline from checkpoint files.
 
         model_paths: safetensors files/folders; each is identified by its
         key-hash (io/safetensors_io.py) like the reference ModelManager
-        (model_manager.py:350-416).  `finetuned_path` is a PhysicEdit
-        training export: DiT-LoRA keys are merged into the DiT weights and
+        (model_manager.py:350-416).  Entries may also be
+        io.model_config.ModelConfig descriptors, resolved (and hub-gate
+        downloaded) here.  `finetuned_path` is a PhysicEdit training
+        export: DiT-LoRA keys are merged into the DiT weights and
         `pipe.*` keys populate the adapters (validate.py:33-65 semantics).
+
+        model_id: by-name preset resolution for the Qwen-Image family
+        (io.model_config.QWEN_IMAGE_PRESETS — the rows the reference
+        assembles at validate.py:94-125): supplies the transformer /
+        text-encoder / VAE ModelConfigs and, unless overridden, the
+        tokenizer folder.  `local_model_path`/`skip_download` parameterise
+        those presets exactly like the reference's ModelConfig fields.
         """
+        from physicedit_tpu.io.model_config import (ModelConfig,
+                                                    qwen_image_preset)
         from physicedit_tpu.io.safetensors_io import EXTENSION_LOADERS
+
+        if model_id is not None:
+            preset = qwen_image_preset(model_id, local_model_path,
+                                       skip_download)
+            model_paths = list(model_paths or []) + preset["model_configs"]
+            if tokenizer_path is None:
+                tokenizer_path = preset["tokenizer_config"]
+        if model_paths is None:
+            raise ValueError("pass model_paths and/or a preset model_id")
+        model_paths = [p.download_if_necessary()
+                       if isinstance(p, ModelConfig) else p
+                       for p in model_paths]
+        if isinstance(tokenizer_path, ModelConfig):
+            tokenizer_path = tokenizer_path.download_if_necessary()
 
         parts: dict = {}
         part_paths: dict = {}

@@ -154,6 +154,61 @@ def test_from_pretrained_infers_tiny_configs(tmp_path):
 
 
 @requires_reference
+def test_from_pretrained_by_preset_name(tmp_path, monkeypatch):
+    """By-name loading (reference validate.py:94-125 rows as presets):
+    `from_pretrained(model_id="Qwen/Qwen-Image-Edit-2509")` resolves the
+    transformer / text-encoder / VAE / tokenizer through
+    io.model_config.QWEN_IMAGE_PRESETS against a local hub-layout tree
+    (skip_download: the hub gate stays closed)."""
+    import shutil
+
+    from physicedit_tpu.io.model_config import qwen_image_preset
+    from physicedit_tpu.pipeline.edit_pipeline import PhysicEditPipeline
+    from tests.test_pipeline_e2e import FakeTokenizer
+
+    local = str(tmp_path / "hub")
+    qi = os.path.join(local, "Qwen", "Qwen-Image")
+    os.makedirs(qi)
+    _build_model_dir(qi)
+    # the Edit-2509 repo carries only the transformer
+    edit = os.path.join(local, "Qwen", "Qwen-Image-Edit-2509")
+    os.makedirs(edit)
+    shutil.copytree(os.path.join(qi, "transformer"),
+                    os.path.join(edit, "transformer"))
+
+    seen = {}
+
+    def fake_load_tokenizer(self, path):
+        seen["tokenizer_path"] = path
+        self.tokenizer = FakeTokenizer()
+        self.boi_token_id, self.eoi_token_id = 96, 95
+        self.edit_drop_idx = self.t2i_drop_idx = 2
+
+    monkeypatch.setattr(PhysicEditPipeline, "load_tokenizer",
+                        fake_load_tokenizer)
+    pipe = PhysicEditPipeline.from_pretrained(
+        model_id="Qwen/Qwen-Image-Edit-2509", local_model_path=local,
+        skip_download=True)
+    assert pipe.dit_cfg.num_layers == 2 and pipe.dit_cfg.dim == 256
+    assert pipe.vae_cfg.base_dim == 8
+    assert pipe.text_cfg.num_layers == 2
+    assert seen["tokenizer_path"].rstrip("/").endswith(
+        os.path.join("Qwen", "Qwen-Image", "tokenizer"))
+
+    # unknown names fail loudly with the known presets listed
+    with pytest.raises(KeyError, match="Qwen-Image-Edit-2509"):
+        qwen_image_preset("Qwen/No-Such-Model")
+    # a missing local tree with the hub gate closed is a clean error
+    with pytest.raises(FileNotFoundError):
+        PhysicEditPipeline.from_pretrained(
+            model_id="Qwen/Qwen-Image", local_model_path=str(tmp_path / "x"),
+            skip_download=True)
+    # neither paths nor a preset name is a usage error
+    with pytest.raises(ValueError, match="model_id"):
+        PhysicEditPipeline.from_pretrained()
+
+
+@requires_reference
 @pytest.mark.slow
 def test_from_pretrained_int4_quantized_tiny(tmp_path, monkeypatch):
     """The single-chip serving load path: packed-int4 DiT + VL with fused
