@@ -7,12 +7,14 @@ modelscope.  This rebuild keeps the same registry API —
 ``download_preference_model(name)`` / ``load_preference_model(name,
 path=...)`` / ``scorer.score(images, prompt)`` — with two lanes:
 
-- **checkpoint-backed scorers** ("CLIP", "Aesthetic", "PickScore"):
-  built on the HF ``transformers`` CLIP implementation (CPU torch, like
-  the reference) when the checkpoint directory exists locally; loading
-  without the files raises a clear gated error instead of downloading
-  (this environment has no egress).  ImageReward / HPSv2 / MPS need
-  bespoke BLIP/open_clip stacks and stay gated (documented divergence).
+- **checkpoint-backed scorers**: "CLIP"/"Aesthetic"/"PickScore" ride the
+  HF ``transformers`` CLIP implementation (CPU torch, like the
+  reference); "ImageReward" and "HPSv2"/"HPSv2.1" are TPU-native JAX
+  rebuilds of the BLIP / open_clip towers (models/blip.py,
+  models/openclip.py — parity-tested against the HF ports).  Loading
+  without the checkpoint files raises a clear gated error instead of
+  downloading (this environment has no egress).  MPS needs the bespoke
+  cross-attention head and stays gated (documented divergence).
 - **reference-free metrics** ("PSNR", "SSIM", "LPIPS"): TPU-side metrics
   from ``physicedit_tpu.eval.metrics`` wrapped in the same interface —
   these take a reference image instead of a prompt and are what the
@@ -29,7 +31,10 @@ import numpy as np
 # __init__.py:21-133): modelscope repo + per-model file patterns.
 MODEL_ID = "DiffSynth-Studio/QualityMetric_reward_pretrained"
 model_dict = {
-    "ImageReward": {"load_path": {"imagereward": "ImageReward/ImageReward.safetensors"}},
+    "ImageReward": {"load_path": {
+        "imagereward": "ImageReward/ImageReward.safetensors",
+        "med_config": "ImageReward/med_config.json",
+        "bert_model_path": "bert-base-uncased"}},
     "Aesthetic": {"load_path": {
         "aesthetic_predictor":
             "aesthetic-predictor/sac+logos+ava1-l14-linearMSE.safetensors",
@@ -38,8 +43,12 @@ model_dict = {
         "pickscore": "PickScore_v1",
         "clip": "CLIP-ViT-H-14-laion2B-s32B-b79K"}},
     "CLIP": {"load_path": {"clip": "CLIP-ViT-H-14-laion2B-s32B-b79K"}},
-    "HPSv2": {"load_path": {"hpsv2": "HPS_v2/HPS_v2_compressed.safetensors"}},
-    "HPSv2.1": {"load_path": {"hpsv2.1": "HPS_v2/HPS_v2.1_compressed.safetensors"}},
+    "HPSv2": {"load_path": {
+        "hpsv2": "HPS_v2/HPS_v2_compressed.safetensors",
+        "open_clip_bpe": "bpe_simple_vocab_16e6.txt.gz"}},
+    "HPSv2.1": {"load_path": {
+        "hpsv2.1": "HPS_v2/HPS_v2.1_compressed.safetensors",
+        "open_clip_bpe": "bpe_simple_vocab_16e6.txt.gz"}},
     "MPS": {"load_path": {
         "mps": "MPS_overall_checkpoint/MPS_overall_checkpoint_diffsynth.safetensors"}},
     # reference-free additions (not in the reference registry)
@@ -161,6 +170,108 @@ class AestheticScore(CLIPScore):
         return scores[0] if single else scores
 
 
+class ImageRewardScore:
+    """ImageReward: BLIP ViT-L/16 + med cross-encoder + MLP head, rebuilt
+    TPU-native (models/blip.py; reference imagereward.py:54-148).
+
+    `path`: the published ImageReward.safetensors (blip.* key space).
+    `bert_model_path`: folder with the bert-base-uncased tokenizer
+    (imagereward tokenizes with padding='max_length', max_length=35).
+    `tokenizer`: injectable for tests.
+    """
+
+    MAX_LENGTH = 35
+
+    def __init__(self, path: str, bert_model_path: str | None = None,
+                 tokenizer=None):
+        from physicedit_tpu.io.safetensors_io import load_state_dict
+        from physicedit_tpu.models import blip
+
+        if not os.path.isfile(path):
+            raise GatedMetricError(
+                f"ImageReward checkpoint not found: {path} — preference "
+                f"models are not downloadable in this environment; place "
+                f"ImageReward.safetensors there to enable this metric")
+        sd = {k: np.asarray(v) for k, v in load_state_dict(path).items()}
+        self.params, self.vit_cfg, self.txt_cfg = \
+            blip.imagereward_from_state_dict(sd)
+        if tokenizer is None:
+            if bert_model_path is None or not os.path.isdir(bert_model_path):
+                raise GatedMetricError(
+                    f"bert tokenizer folder not found: {bert_model_path}")
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(bert_model_path)
+        self.tokenizer = tokenizer
+        self._blip = blip
+
+    def score(self, images, prompt: str = ""):
+        enc = self.tokenizer(prompt, padding="max_length", truncation=True,
+                             max_length=self.MAX_LENGTH)
+        ids = np.asarray(enc["input_ids"], np.int32).reshape(1, -1)
+        mask = np.asarray(enc["attention_mask"], np.int32).reshape(1, -1)
+        single = not isinstance(images, (list, tuple))
+        if single:
+            images = [images]
+        pixels = np.concatenate(
+            [self._blip.preprocess_blip(im, self.vit_cfg.image_size)
+             for im in images])
+        n = len(images)
+        out = self._blip.imagereward_score(
+            self.params, self.vit_cfg, self.txt_cfg, pixels,
+            np.broadcast_to(ids, (n, ids.shape[1])),
+            np.broadcast_to(mask, (n, mask.shape[1])))
+        scores = [float(s) for s in np.asarray(out)]
+        return scores[0] if single else scores
+
+
+class HPScoreV2:
+    """HPSv2 / HPSv2.1: OpenCLIP ViT-H/14 rebuilt TPU-native
+    (models/openclip.py; reference hps.py:9-106).  Returns the raw
+    normalised-feature diagonal similarity, matching the reference."""
+
+    def __init__(self, path: str, bpe_path: str | None = None,
+                 tokenizer=None, vision_heads=None, text_heads=None):
+        from physicedit_tpu.io.safetensors_io import load_state_dict
+        from physicedit_tpu.models import openclip
+
+        if not os.path.isfile(path):
+            raise GatedMetricError(
+                f"HPS checkpoint not found: {path} — preference models are "
+                f"not downloadable in this environment; place the "
+                f"compressed safetensors there to enable this metric")
+        sd = {k: np.asarray(v) for k, v in load_state_dict(path).items()}
+        self.params, self.vision_cfg, self.text_cfg = \
+            openclip.openclip_from_state_dict(sd, vision_heads=vision_heads,
+                                              text_heads=text_heads)
+        if tokenizer is None:
+            if bpe_path is None or not os.path.isfile(bpe_path):
+                raise GatedMetricError(
+                    f"CLIP BPE merges file not found: {bpe_path}")
+            from physicedit_tpu.extensions.clip_bpe import ClipBpeTokenizer
+
+            tokenizer = ClipBpeTokenizer(bpe_path)
+        self.tokenizer = tokenizer
+        self._openclip = openclip
+
+    def score(self, images, prompt: str):
+        ids = self.tokenizer.tokenize(
+            [prompt], context_length=self.text_cfg.context_length)
+        single = not isinstance(images, (list, tuple))
+        if single:
+            images = [images]
+        size = self.vision_cfg.patch_size * int(round(
+            (self.params["visual"]["positional_embedding"].shape[0] - 1)
+            ** 0.5))
+        pixels = np.concatenate(
+            [self._openclip.preprocess_clip(im, size) for im in images])
+        sims = self._openclip.clip_similarity(
+            self.params, self.vision_cfg, self.text_cfg, pixels,
+            np.broadcast_to(ids, (len(images), ids.shape[1])))
+        scores = [float(s) for s in np.asarray(sims)]
+        return scores[0] if single else scores
+
+
 def load_preference_model(model_name: str, device: str = "cpu",
                           path=None):
     """Reference API (ImageQualityMetric/__init__.py:144-148).  `path` is
@@ -175,7 +286,14 @@ def load_preference_model(model_name: str, device: str = "cpu",
         return CLIPScore(path["pickscore"], processor_path=path["clip"])
     if model_name == "Aesthetic":
         return AestheticScore(path["clip-large"], path["aesthetic_predictor"])
+    if model_name == "ImageReward":
+        return ImageRewardScore(path["imagereward"],
+                                bert_model_path=path.get("bert_model_path"))
+    if model_name in ("HPSv2", "HPSv2.1"):
+        key = "hpsv2" if model_name == "HPSv2" else "hpsv2.1"
+        return HPScoreV2(path[key], bpe_path=path.get("open_clip_bpe"))
     raise GatedMetricError(
-        f"{model_name} needs a bespoke BLIP/open_clip stack and pretrained "
-        f"weights that are not downloadable in this environment (documented "
-        f"divergence; CLIP/Aesthetic/PickScore load from local folders)")
+        f"{model_name} needs the bespoke MPS cross-attention head and "
+        f"pretrained weights that are not downloadable in this environment "
+        f"(documented divergence; every other registry entry loads from "
+        f"local files)")
