@@ -22,6 +22,19 @@ CFG = jdit.DiTConfig(num_layers=3, dim=256, num_heads=4, head_dim=64,
                      txt_in_dim=128)
 
 
+@pytest.fixture(autouse=True)
+def _xla_w4a8_route(monkeypatch):
+    """CPU tests can't lower the Pallas W4A8 / fused-quant kernels; the
+    XLA int8 unpack+dot route is bit-equivalent (same quantized values,
+    exact int32 accumulation) and the unfused modulate/GELU+quantize is
+    the same math, so force both for every M."""
+    from physicedit_tpu.kernels import quant_matmul as qm
+
+    monkeypatch.setattr(qm, "_W4A8_IMPL", "xla")
+    monkeypatch.setattr(qm, "_W4A8_XLA_MIN_M", 0)
+    monkeypatch.setattr(jdit, "_FUSED_ACT_QUANT", False)
+
+
 @pytest.fixture(scope="module")
 def lane():
     return DivergenceLane(res=64, steps=4, seed=3, cfg=CFG, attn_impl="xla",

@@ -178,6 +178,11 @@ def _trajectory(block_keys, outer, cfg, latents0, extra_tokens, txt,
         def body(carry, key):
             text, image = carry
             block = jdit.init_block_params(key, cfg, dtype)
+            # Commit the regenerated weights to bf16 before use: without
+            # the barrier XLA fuses the f32 RNG internals straight into the
+            # consuming dots, skipping the bf16 round-trip the stored-params
+            # path has (observed as ~2-LSB output drift vs dit_forward).
+            block = jax.lax.optimization_barrier(block)
             block = _apply_spec_block(block, spec)
             text, image = jdit.block_forward(
                 block, cfg, image, text, temb_silu,
