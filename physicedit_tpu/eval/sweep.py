@@ -41,10 +41,19 @@ class BucketBatcher:
     when it reaches ``batch_size``.  ``flush_all`` drains stragglers (they
     run at whatever partial batch remains).  batch_size=1 degrades to the
     reference's one-image-per-invocation behaviour via ``pipe.__call__``.
+
+    ``mixed=True`` (the native-resolution serving mode): items accumulate
+    in ARRIVAL order into one queue and flush every ``batch_size`` items
+    through ``pipe.edit_batch_mixed`` — conditioning batches across
+    resolutions (its shapes are resolution-independent), the denoise runs
+    per same-shape group inside.  Batch fill is 100% by construction even
+    on a fully fragmented resolution mix, where per-bucket batching
+    degrades toward single-item conditioning.
     """
 
     def __init__(self, pipe, batch_size: int, seed: int,
-                 num_inference_steps: int, pipe_kwargs: dict | None = None):
+                 num_inference_steps: int, pipe_kwargs: dict | None = None,
+                 mixed: bool = False):
         self.pipe = pipe
         self.batch_size = batch_size
         self.seed = seed
@@ -52,10 +61,11 @@ class BucketBatcher:
         # Extra kwargs forwarded to every pipe call (e.g. the opt-in
         # cfg_truncate_step serving accelerator)
         self.pipe_kwargs = dict(pipe_kwargs or {})
+        self.mixed = mixed and batch_size > 1
         self.buckets: dict = {}
 
     def add(self, prompt, image, out_path, on_done):
-        key = image.size
+        key = "mixed" if self.mixed else image.size
         self.buckets.setdefault(key, []).append((prompt, image, out_path, on_done))
         if len(self.buckets[key]) >= self.batch_size:
             self._flush(key)
@@ -63,6 +73,16 @@ class BucketBatcher:
     def _flush(self, key):
         items = self.buckets.pop(key, [])
         if not items:
+            return
+        if key == "mixed":
+            outs = self.pipe.edit_batch_mixed(
+                [p for p, _, _, _ in items], [im for _, im, _, _ in items],
+                heights=[im.size[1] for _, im, _, _ in items],
+                widths=[im.size[0] for _, im, _, _ in items],
+                seeds=[self.seed] * len(items),
+                num_inference_steps=self.steps, **self.pipe_kwargs)
+            for out, (_, _, out_path, on_done) in zip(outs, items):
+                on_done(out, out_path)
             return
         w, h = key
         if self.batch_size == 1 or len(items) == 1:
@@ -92,13 +112,18 @@ def run_pica_sweep(pipe, output_dir: str, prompt_type: str = "intermediate",
                    skip_existing: bool = True,
                    prompt_rewriter=None,
                    batch_size: int = 1,
-                   cfg_truncate_step: int | None = None):
+                   cfg_truncate_step: int | None = None,
+                   mixed_resolution_batching: bool = True):
     """prompt_rewriter: optional callable prompt -> prompt, the injectable
     replacement for the reference's GPT-4o-mini rewriter
     (inference_pica.py:29-122; external API kept out of the framework).
 
-    batch_size > 1 batches same-resolution edits into one denoise
-    invocation (BucketBatcher)."""
+    batch_size > 1 batches edits for serving.  With
+    ``mixed_resolution_batching`` (default), native-resolution items batch
+    their conditioning in arrival order across resolution buckets
+    (pipe.edit_batch_mixed) — full batches even on PICA's fragmented
+    native-size mix; set False to group whole edits per /32 bucket
+    (pipe.edit_batch, the uniform-resolution mode)."""
     ds = _load_hf_dataset("Andrew613/PICABench", local_path=local_dataset_path)
     os.makedirs(output_dir, exist_ok=True)
     end_idx = len(ds) if end_idx is None else min(end_idx, len(ds))
@@ -110,7 +135,9 @@ def run_pica_sweep(pipe, output_dir: str, prompt_type: str = "intermediate",
 
     batcher = BucketBatcher(pipe, batch_size, seed, num_inference_steps,
                             pipe_kwargs={"cfg_truncate_step":
-                                         cfg_truncate_step})
+                                         cfg_truncate_step},
+                            mixed=(mixed_resolution_batching
+                                   and native_resolution))
     for idx in range(start_idx, end_idx):
         out_path = os.path.join(output_dir, f"{idx:05d}.jpg")
         if skip_existing and os.path.exists(out_path):

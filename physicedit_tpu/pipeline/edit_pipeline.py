@@ -960,6 +960,169 @@ class PhysicEditPipeline:
     # Batched serving
     # ------------------------------------------------------------------
 
+    def _serving_conditioning(self, prompts: list, edit_images: list,
+                              negative_prompt: str, use_cfg: bool,
+                              have_text_reasoning: bool):
+        """Batched serving conditioning, shared by ``edit_batch`` and
+        ``edit_batch_mixed``.  Every stage here runs at a RESOLUTION-
+        INDEPENDENT shape (the vision tower at the fixed VL input size,
+        the reasoner at the bucketed prompt length, the 2N prompt encodes
+        at the shared text bucket) — which is why mixed-resolution items
+        can share one conditioning batch even though their denoises can't
+        share one XLA program.
+
+        The vision tower runs ONCE per item (features shared by the
+        reasoner and both CFG prompt rows — the round-2 path ran the
+        32-layer ViT 3x per item); the reasoner runs BATCHED (one prefill
+        + decode for all items — the decode is weight-read-bound so N
+        rows cost ~one); the 2N prompt encodes run as ONE batched
+        text_forward (positives then negatives).
+
+        Returns (prompt_emb [2N|N, S_t, D] np, txt_mask [2N|N, S_t] np,
+        specials list of per-row special-token index arrays).
+        """
+        n = len(prompts)
+        feats_list, grids = self._vision_features(
+            [vl_host.resize_vl_image(im) for im in edit_images])
+        physical_txts = [""] * n
+        if have_text_reasoning:
+            physical_txts = self.reason_physical_batch(
+                prompts, edit_images, vl_feats=feats_list, vl_grids=grids)
+        all_prompts = [p + t for p, t in zip(prompts, physical_txts)]
+        all_images = list(edit_images)
+        if use_cfg:
+            all_prompts += [negative_prompt] * n
+            all_images += list(edit_images)
+        enc = self.encode_prompt_edit_batch(
+            all_prompts, all_images, feats_list=feats_list + feats_list
+            if use_cfg else feats_list,
+            grids=grids + grids if use_cfg else grids)
+        embs = [e for e, _ in enc]
+        specials = [sp for _, sp in enc]
+        prompt_emb, txt_mask = vl_host.bucket_pad_text(embs,
+                                                       self.txt_len_bucket)
+        return prompt_emb, txt_mask, specials
+
+    def edit_batch_mixed(self, prompts: list, edit_images: list,
+                         negative_prompt: str = "", cfg_scale: float = 4.0,
+                         cfg_truncate_step: int | None = None,
+                         heights: list | None = None,
+                         widths: list | None = None,
+                         seeds: list | None = None,
+                         num_inference_steps: int = 40,
+                         have_text_reasoning: bool = True,
+                         edit_image_auto_resize: bool = False):
+        """Edit N images of MIXED resolutions with ONE conditioning batch.
+
+        The native-resolution PICA sweep (inference_pica.py:280-297 passes
+        each image's own height/width) fragments same-resolution buckets,
+        so grouping whole edits by resolution (``edit_batch``) degrades
+        toward single-item conditioning.  The TPU-native fix exploits that
+        only the DENOISE depends on the output resolution: conditioning
+        (vision tower, reasoner decode, prompt encodes — all fixed shapes)
+        runs batched across ALL N items exactly as in ``edit_batch``,
+        then items group by (latent, edit-latent) shape and each group
+        denoises at its own native size.  Conditioning batch-fill is 100%
+        by construction regardless of the resolution mix; the denoise is
+        per-item-sequential either way (one 8k-token CFG step saturates
+        the chip), so fragmentation costs only XLA compiles (bounded by
+        the sweep's /32 size quantisation).
+
+        ``heights[i]``/``widths[i]`` default to item i's image size (the
+        PICA native-resolution convention).  Item i uses seeds[i]
+        (default: i).  Returns N PIL images in input order.
+        """
+        n = len(prompts)
+        assert len(edit_images) == n and n >= 1
+        if edit_image_auto_resize:
+            edit_images = [self.edit_image_auto_resize(im)
+                           for im in edit_images]
+        heights = ([im.size[1] for im in edit_images] if heights is None
+                   else list(heights))
+        widths = ([im.size[0] for im in edit_images] if widths is None
+                  else list(widths))
+        assert len(heights) == n and len(widths) == n
+        heights = [(h + 15) // 16 * 16 for h in heights]
+        widths = [(w + 15) // 16 * 16 for w in widths]
+        seeds = list(range(n)) if seeds is None else list(seeds)
+        use_cfg = cfg_scale != 1.0
+
+        # Per-item edit-image latents -> tokens [1, S_e_i, 64] (shapes may
+        # differ per item; kept as a list, grouped below)
+        lats, edit_hw = [], []
+        for im in edit_images:
+            lat = self.encode_image(im)
+            lats.append(patchify(lat))
+            edit_hw.append(lat.shape[1:3])
+
+        prompt_emb, txt_mask, specials = self._serving_conditioning(
+            prompts, edit_images, negative_prompt, use_cfg,
+            have_text_reasoning)
+        _, s_t = txt_mask.shape
+
+        adapter_params = self.adapters.get("visual_thinking_adapter")
+        use_specials = (adapter_params is not None
+                        and all(s is not None for s in specials))
+
+        # Group items by (output latent shape, edit latent shape): each
+        # group is one denoise invocation at its native size.
+        groups: dict = {}
+        for i in range(n):
+            key = (heights[i] // 8, widths[i] // 8, *edit_hw[i])
+            groups.setdefault(key, []).append(i)
+
+        results: list = [None] * n
+        for (lat_h, lat_w, eh, ew), idxs in groups.items():
+            m = len(idxs)
+            sched = fm.build_schedule(
+                num_inference_steps, fm.QWEN_IMAGE_CONFIG,
+                dynamic_shift_len=(lat_h // 2) * (lat_w // 2))
+            noise = jnp.concatenate(
+                [self.generate_noise((1, lat_h, lat_w, 16), seeds[i])
+                 for i in idxs])
+            extra_tokens = jnp.concatenate(
+                [lats[i] for i in idxs]).astype(self.dtype)
+            rows = idxs + [n + i for i in idxs] if use_cfg else idxs
+            emb_g = jnp.asarray(prompt_emb[rows], self.dtype)
+            mask_g = jnp.asarray(txt_mask[rows])
+            special_idx = None
+            if use_specials:
+                special_idx = jnp.asarray(
+                    np.stack([specials[i] for i in rows]), jnp.int32)
+            img_shapes = [(1, lat_h // 2, lat_w // 2), (1, eh // 2, ew // 2)]
+            ropes = m_rope.build_rope_tables(img_shapes, s_t,
+                                             axes_dim=self.rope_axes)
+            if getattr(self, "mesh", None) is not None:
+                # Same data-parallel placement as edit_batch, per shape
+                # group (groups whose size doesn't divide the data axis run
+                # without DP placement — GSPMD still executes them).
+                from jax.sharding import NamedSharding, PartitionSpec as PS
+
+                from physicedit_tpu.parallel import sharding as sh
+
+                if m % self.mesh.shape[sh.DATA_AXIS] == 0:
+                    dp = NamedSharding(self.mesh, PS(sh.DATA_AXIS))
+                    noise = jax.device_put(noise, dp)
+                    extra_tokens = jax.device_put(extra_tokens, dp)
+                    emb_g = jax.device_put(emb_g, dp)
+                    mask_g = jax.device_put(mask_g, dp)
+                    if special_idx is not None:
+                        special_idx = jax.device_put(special_idx, dp)
+            latents = denoise(
+                self.dit_params, self.dit_cfg, noise, extra_tokens,
+                emb_g, mask_g, *(jnp.asarray(r) for r in ropes),
+                jnp.asarray(sched.sigmas), jnp.asarray(sched.sigmas_next),
+                jnp.asarray(sched.timesteps), jnp.asarray(float(cfg_scale)),
+                latent_hw=(lat_h, lat_w),
+                adapter_params=adapter_params, special_idx=special_idx,
+                t_min=self.t_min, t_max=self.t_max, attn_impl=self.attn_impl,
+                lora=self.dit_lora, attn_clamp=self.attn_clamp,
+                cfg_truncate_after=cfg_truncate_step)
+            for img, i in zip(self.decode_images(latents), idxs):
+                results[i] = img
+            del noise, extra_tokens, latents
+        return results
+
     def edit_batch(self, prompts: list, edit_images: list,
                    negative_prompt: str = "", cfg_scale: float = 4.0,
                    cfg_truncate_step: int | None = None,
@@ -1008,34 +1171,10 @@ class PhysicEditPipeline:
         img_shapes.append((1, eh // 2, ew // 2))
         extra_tokens = jnp.concatenate(lats, axis=0)
 
-        # Conditioning: the vision tower runs ONCE per item (features are
-        # shared by the reasoner and both CFG prompt rows — the round-2
-        # path ran the 32-layer ViT 3x per item); the reasoner runs BATCHED
-        # (one prefill + decode for all items — the decode is
-        # weight-read-bound so N rows cost ~one); the 2N prompt encodes run
-        # as ONE batched text_forward (positives then negatives).
-        feats_list, grids = self._vision_features(
-            [vl_host.resize_vl_image(im) for im in edit_images])
-        physical_txts = [""] * n
-        if have_text_reasoning:
-            physical_txts = self.reason_physical_batch(
-                prompts, edit_images, vl_feats=feats_list, vl_grids=grids)
-        use_cfg = cfg_scale != 1.0
-        all_prompts = [p + t for p, t in zip(prompts, physical_txts)]
-        all_images = list(edit_images)
-        if use_cfg:
-            all_prompts += [negative_prompt] * n
-            all_images += list(edit_images)
-        enc = self.encode_prompt_edit_batch(
-            all_prompts, all_images, feats_list=feats_list + feats_list
-            if use_cfg else feats_list,
-            grids=grids + grids if use_cfg else grids)
-        embs = [e for e, _ in enc]
-        specials = [sp for _, sp in enc]
-
-        prompt_emb, txt_mask = vl_host.bucket_pad_text(embs,
-                                                       self.txt_len_bucket)
-        b, s_t = txt_mask.shape
+        prompt_emb, txt_mask, specials = self._serving_conditioning(
+            prompts, edit_images, negative_prompt, cfg_scale != 1.0,
+            have_text_reasoning)
+        _, s_t = txt_mask.shape
 
         adapter_params = self.adapters.get("visual_thinking_adapter")
         special_idx = None

@@ -139,6 +139,20 @@ class MockBatchPipe(MockPipe):
                 for i in range(len(prompts))]
 
 
+class MockMixedPipe(MockBatchPipe):
+    def __init__(self):
+        super().__init__()
+        self.mixed_calls = []
+
+    def edit_batch_mixed(self, prompts, edit_images, heights=None,
+                         widths=None, seeds=None, num_inference_steps=None,
+                         **kw):
+        self.mixed_calls.append({"n": len(prompts),
+                                 "sizes": list(zip(widths, heights))})
+        return [Image.new("RGB", (w, h), (i, 0, 0))
+                for i, (w, h) in enumerate(zip(widths, heights))]
+
+
 def test_make_prompt_rewriter_cmd():
     import sys
 
@@ -238,9 +252,40 @@ def test_pica_sweep_batched_buckets(tmp_path):
     out_dir = str(tmp_path / "outb")
     pipe = MockBatchPipe()
     run_pica_sweep(pipe, out_dir, local_dataset_path=path, batch_size=2,
-                   num_inference_steps=2)
+                   num_inference_steps=2, mixed_resolution_batching=False)
     # 4x (96x64)-bucket images -> two batches of 2; 1x (64x32) straggler
     # flushes as a single __call__
     assert sorted(c["n"] for c in pipe.batch_calls) == [2, 2]
     assert len(pipe.calls) == 1
+    assert len(os.listdir(out_dir)) == 5
+
+
+def test_pica_sweep_mixed_resolution_batching(tmp_path):
+    """The default native-res serving mode: items batch in ARRIVAL order
+    across resolution buckets through edit_batch_mixed — full batches on a
+    fragmented mix where per-bucket grouping degrades to singles."""
+    from physicedit_tpu.eval.sweep import run_pica_sweep
+
+    rng = np.random.default_rng(2)
+    sizes = [(70, 100), (40, 64), (100, 70), (64, 40), (70, 100)]
+    recs = {
+        "image": [Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+                  for h, w in sizes],
+        "intermediate_prompt": [f"p{i}" for i in range(len(sizes))],
+        "superficial_prompt": [""] * len(sizes),
+        "explicit_prompt": [""] * len(sizes),
+    }
+    ds = datasets.Dataset.from_dict(recs)
+    path = str(tmp_path / "pica_m")
+    ds.save_to_disk(path)
+    out_dir = str(tmp_path / "outm")
+    pipe = MockMixedPipe()
+    run_pica_sweep(pipe, out_dir, local_dataset_path=path, batch_size=2,
+                   num_inference_steps=2)
+    # every flush is a FULL arrival-order batch (5 items -> 2+2, then the
+    # final straggler drains through the same mixed path as a 1-batch)
+    assert [c["n"] for c in pipe.mixed_calls] == [2, 2, 1]
+    assert pipe.calls == [] and pipe.batch_calls == []
+    # per-item native /32 sizes are preserved
+    assert pipe.mixed_calls[0]["sizes"] == [(96, 64), (64, 32)]
     assert len(os.listdir(out_dir)) == 5

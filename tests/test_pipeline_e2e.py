@@ -169,6 +169,45 @@ def test_edit_batch_matches_single_edits(tiny_pipe):
         assert diff.max() <= 1, diff.max()  # fp reassociation tolerance
 
 
+def test_edit_batch_mixed_shapes_and_order(tiny_pipe):
+    """Mixed-resolution serving smoke: one conditioning batch over items
+    of different native sizes; outputs come back at each item's own size
+    and in input order."""
+    rng = np.random.default_rng(12)
+    sizes = [(64, 64), (96, 64), (64, 64)]   # (w, h); two shape groups
+    ims = [Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+           for w, h in sizes]
+    outs = tiny_pipe.edit_batch_mixed(
+        ["a", "b", "c"], ims, seeds=[1, 2, 3], num_inference_steps=1,
+        have_text_reasoning=False)
+    assert [o.size for o in outs] == sizes
+    for o in outs:
+        assert np.isfinite(np.asarray(o, np.float32)).all()
+
+
+@pytest.mark.slow
+def test_edit_batch_mixed_matches_single_edits(tiny_pipe):
+    """Mixed-res serving parity: per-item outputs equal the single-edit
+    path (same seeds) even though conditioning batched across two
+    resolution groups."""
+    rng = np.random.default_rng(13)
+    sizes = [(64, 64), (96, 64)]
+    ims = [Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+           for w, h in sizes]
+    prompts = ["push the cart", "bend the rod"]
+    singles = [np.asarray(tiny_pipe(
+        p, edit_image=im, height=h, width=w, seed=s,
+        num_inference_steps=2, have_text_reasoning=False,
+        edit_image_auto_resize=False))
+        for p, im, (w, h), s in zip(prompts, ims, sizes, [5, 9])]
+    mixed = tiny_pipe.edit_batch_mixed(
+        prompts, ims, seeds=[5, 9], num_inference_steps=2,
+        have_text_reasoning=False)
+    for one, many in zip(singles, mixed):
+        diff = np.abs(one.astype(np.int16) - np.asarray(many).astype(np.int16))
+        assert diff.max() <= 1, diff.max()  # fp reassociation tolerance
+
+
 def test_quantized_pipeline_quality(tiny_pipe):
     """W8A8 / W4A8 DiT end-to-end: quantized edits stay close to fp32
     (quantization noise, not garbage), exercising the quantized dispatch
