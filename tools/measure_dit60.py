@@ -43,11 +43,17 @@ def log(*a):
 
 def measure_dit60(num_layers: int = 60, reps: int = 6,
                   attn_impl: str = "pallas", slim: bool = True,
-                  batch: int = 2, params=None):
+                  batch: int = 2, params=None, grid=(64, 64),
+                  edit_grid=None):
     """batch=2 is the CFG step (the reference workload); batch=1 is the
     positive-only step of the opt-in --cfg_truncate_step serving mode.
     Pass ``params`` to reuse an already-materialised quantized tree
-    (avoids a second 10.25 GB fill when measuring both batches)."""
+    (avoids a second 10.25 GB fill when measuring both batches).
+
+    ``grid``: output-latent patch grid (gh, gw) = (H/16, W/16) — (64, 64)
+    is the 1024-sq default; other values measure the native-resolution
+    serving shapes (tools/mixed_res_serving.py).  ``edit_grid`` defaults
+    to ``grid`` (the PICA convention: edit image at the output size)."""
     from physicedit_tpu.core.params import random_tree_like, tree_size_bytes
     from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
     from physicedit_tpu.models import dit as jdit
@@ -64,12 +70,15 @@ def measure_dit60(num_layers: int = 60, reps: int = 6,
             f"{tree_size_bytes(params)/1e9:.2f} GB "
             f"in {time.perf_counter()-t0:.0f}s")
 
-    b, grid, s_t = batch, 64, 256
+    b, s_t = batch, 256
+    gh, gw = grid
+    eh, ew = grid if edit_grid is None else edit_grid
     tables = tuple(map(jnp.asarray, jrope.build_rope_tables(
-        [(1, grid, grid), (1, grid, grid)], s_t)))
+        [(1, gh, gw), (1, eh, ew)], s_t)))
     mask = jnp.ones((b, s_t), bool)
 
-    s_base = grid * grid
+    s_base = gh * gw
+    s_edit = eh * ew
     slim_n = s_base if slim else 0
 
     # load-time clamp decision, exactly like the pipeline: unit gammas
@@ -92,7 +101,7 @@ def measure_dit60(num_layers: int = 60, reps: int = 6,
         return (nxt * (1.0 + salt)).astype(dtype)  # finite, distinct per call
 
     rng = np.random.default_rng(0)
-    it = jnp.asarray(rng.normal(size=(b, 2 * grid * grid, cfg.patch_dim)) * 0.1,
+    it = jnp.asarray(rng.normal(size=(b, s_base + s_edit, cfg.patch_dim)) * 0.1,
                      dtype)
     tt = jnp.asarray(rng.normal(size=(b, s_t, cfg.txt_in_dim)) * 0.1, dtype)
 
