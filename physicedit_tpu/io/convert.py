@@ -400,10 +400,25 @@ def dinov2_from_torch(sd: dict, dtype=jnp.float32, num_layers: int | None = None
 # model.language_model.*  — qwen_image_text_encoder_withdecode.py:287-296)
 # ---------------------------------------------------------------------------
 
+def _detect_prefix(sd: dict, candidates, probe: str) -> str:
+    """First candidate prefix under which `probe` exists.
+
+    HF checkpoints of Qwen2.5-VL exist in two key spaces — the remapped
+    one the reference produces (model.language_model.*, model.visual.*,
+    qwen_image_text_encoder_withdecode.py:287-296) and the pre-remap HF
+    save_pretrained layout (model.*, visual.*) — accept both."""
+    for c in candidates:
+        if any(k.startswith(c + probe) for k in sd):
+            return c
+    raise KeyError(f"none of {candidates} + {probe!r} found in checkpoint "
+                   f"(sample keys: {sorted(sd)[:5]})")
+
+
 def qwen_vl_text_from_torch(sd: dict, dtype=jnp.bfloat16,
                             num_layers: int | None = None):
     """Text decoder + lm_head -> pytree for models/qwen_vl.py."""
-    base = "model.language_model."
+    base = _detect_prefix(sd, ("model.language_model.", "model."),
+                          "layers.0.self_attn.q_proj.weight")
     if num_layers is None:
         num_layers = 1 + max(int(k[len(base) + 7:].split(".")[0])
                              for k in sd if k.startswith(base + "layers."))
@@ -439,7 +454,8 @@ def qwen_vl_text_from_torch(sd: dict, dtype=jnp.bfloat16,
 def qwen_vl_vision_from_torch(sd: dict, dtype=jnp.bfloat16,
                               num_layers: int | None = None):
     """Vision tower + merger -> pytree for models/qwen_vl_vision.py."""
-    base = "model.visual."
+    base = _detect_prefix(sd, ("model.visual.", "visual."),
+                          "blocks.0.attn.qkv.weight")
     if num_layers is None:
         num_layers = 1 + max(int(k[len(base) + 7:].split(".")[0])
                              for k in sd if k.startswith(base + "blocks."))
@@ -538,6 +554,29 @@ def vae_config_from_params(params) -> "object":
         QWEN_VAE_CONFIG,
         base_dim=int(params["encoder"]["conv_in"]["w"].shape[-1]),
         z_dim=int(params["quant_conv"]["w"].shape[-1]) // 2)
+
+
+def dinov2_config_from_hf(hf: dict, params=None) -> "object":
+    """DinoV2Config from an HF Dinov2WithRegisters config.json dict,
+    optionally filling num_layers from a converted pytree."""
+    import dataclasses
+
+    from physicedit_tpu.models.dinov2 import DINOV2_BASE
+
+    cfg = dataclasses.replace(
+        DINOV2_BASE,
+        hidden_size=int(hf.get("hidden_size", DINOV2_BASE.hidden_size)),
+        num_layers=int(hf.get("num_hidden_layers", DINOV2_BASE.num_layers)),
+        num_heads=int(hf.get("num_attention_heads", DINOV2_BASE.num_heads)),
+        mlp_ratio=int(hf.get("mlp_ratio", DINOV2_BASE.mlp_ratio)),
+        patch_size=int(hf.get("patch_size", DINOV2_BASE.patch_size)),
+        num_register_tokens=int(hf.get("num_register_tokens",
+                                       DINOV2_BASE.num_register_tokens)),
+        eps=float(hf.get("layer_norm_eps", DINOV2_BASE.eps)))
+    if params is not None:
+        cfg = dataclasses.replace(
+            cfg, num_layers=int(params["layers"]["fc1"]["w"].shape[0]))
+    return cfg
 
 
 def text_config_from_hf(hf: dict) -> "object":

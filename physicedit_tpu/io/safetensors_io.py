@@ -2,8 +2,11 @@
 
 Replaces the reference's ModelManager weight-IO layer
 (diffsynth/models/model_manager.py + models/utils.py:55-182) without any
-torch dependency: tensors load straight into JAX arrays via safetensors'
-flax framework (bf16-safe, zero-copy mmap on host).
+torch dependency: tensors load as host numpy arrays via safetensors'
+numpy framework (bf16-safe through ml_dtypes, zero-copy mmap) — converters
+move them to device once with the target dtype.  The flax framework is
+deliberately avoided: it materialises a committed jax array per tensor
+(~80 ms each under the tunnelled runtime — hours for a 20B checkpoint).
 
 The hash-based architecture detection reproduces the reference's scheme
 exactly (md5 over sorted "key:shape,key" strings, models/utils.py:148-182)
@@ -25,11 +28,11 @@ import jax.numpy as jnp
 
 
 def load_safetensors(path: str) -> dict:
-    """Load one .safetensors file into a flat dict of jnp arrays."""
+    """Load one .safetensors file into a flat dict of host numpy arrays."""
     from safetensors import safe_open
 
     out = {}
-    with safe_open(path, framework="flax") as f:
+    with safe_open(path, framework="np") as f:
         for k in f.keys():
             out[k] = f.get_tensor(k)
     return out

@@ -355,3 +355,53 @@ def test_synthetic_real_layout_tree_end_to_end(tmp_path, monkeypatch):
     feats = m_dino.dinov2_features(
         dparams, cfg, jnp.zeros((1, 56, 56, 3), jnp.float32))
     assert feats.shape == (1, 16, hf["hidden_size"])
+
+
+@requires_reference
+@pytest.mark.slow
+def test_golden_capture_round_trip(tmp_path):
+    """VERDICT-r4 #7: the real-weight runbook's two commands, rehearsed
+    end to end on a synthetic full-layout tree — capture loads the
+    reference torch/HF models and writes the per-layer cascade (DiT block
+    taps, VL hidden-state ladder + M-RoPE positions + vision tower, VAE
+    round trip, DINOv2 wrapper features); compare replays every captured
+    input through physicedit_tpu's converters and GATES on rel-L2.  At
+    fp32 both sides agree to ~1e-6, so the 0.01 gate catching anything
+    means a conversion bug, not noise."""
+    from tools.capture_goldens import main as goldens_main
+    from tools.make_synthetic_checkpoint import build_all
+
+    base = str(tmp_path / "synth")
+    build_all(base, num_layers=2, dim=256)
+    goldens = str(tmp_path / "goldens.npz")
+    model_args = [
+        "--vae_path", os.path.join(base, "vae",
+                                   "diffusion_pytorch_model.safetensors"),
+        "--dit_path", os.path.join(base, "transformer"),
+        "--text_encoder_path", os.path.join(base, "text_encoder"),
+        "--dino_path", os.path.join(base, "dinov2"),
+    ]
+    assert goldens_main(["capture", *model_args, "--vae_res", "64",
+                         "--out", goldens]) == 0
+
+    import numpy as np_  # noqa: PLC0415
+
+    bundle = np_.load(goldens)
+    # the cascade actually captured: block taps, VL ladder, M-RoPE, vision
+    assert "dit_blk00_img" in bundle.files
+    assert "dit_blk01_txt" in bundle.files
+    assert "vl_hidden_l00" in bundle.files
+    assert "vl_mrope_pos_ref" in bundle.files
+    assert "vl_vision_ref" in bundle.files
+    assert "dino_feats_ref" in bundle.files
+
+    assert goldens_main(["compare", "--goldens", goldens, *model_args,
+                         "--fail_above", "0.01"]) == 0
+
+    # the gate really gates: a corrupted tap must fail the compare
+    corrupt = {k: bundle[k] for k in bundle.files}
+    corrupt["dit_blk01_img"] = corrupt["dit_blk01_img"] + 1.0
+    bad = str(tmp_path / "bad.npz")
+    np_.savez_compressed(bad, **corrupt)
+    assert goldens_main(["compare", "--goldens", bad, *model_args,
+                         "--fail_above", "0.01"]) == 1

@@ -48,7 +48,10 @@ def test_safetensors_roundtrip(tmp_path):
     path = str(tmp_path / "x.safetensors")
     save_file({"w": np.arange(6, dtype=np.float32).reshape(2, 3)}, path)
     sd = sio.load_safetensors(path)
-    assert isinstance(sd["w"], jnp.ndarray)
+    # host numpy, not committed jax arrays (one device transfer per tensor
+    # is ~80 ms under the tunnelled runtime — hours for a 20B checkpoint);
+    # converters move to device once with the target dtype.
+    assert isinstance(sd["w"], np.ndarray)
     np.testing.assert_allclose(np.asarray(sd["w"]),
                                np.arange(6, dtype=np.float32).reshape(2, 3))
     # folder loading

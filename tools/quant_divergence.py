@@ -369,6 +369,15 @@ def main():
             traj = lane.run(make_spec(int4_groups=int4, int8_groups=g8),
                             tag=f"mixed-int8-{'+'.join(g8)}")
             result.setdefault("mixed", {})["+".join(g8)] = curves(ref, traj)
+        elif spec_arg.startswith("bf16:"):
+            # int4 everywhere EXCEPT the listed groups stay bf16 — the
+            # keep-sensitive-leaves-unquantized fallback candidates
+            keep = tuple(spec_arg.split(":", 1)[1].split("+"))
+            int4 = tuple(g for g in ALL_GROUPS if g not in keep)
+            traj = lane.run(make_spec(int4_groups=int4),
+                            tag=f"bf16-{'+'.join(keep)}")
+            result.setdefault("bf16_keep", {})["+".join(keep)] = curves(
+                ref, traj)
         elif spec_arg.startswith("trunc:"):
             ks = [int(x) for x in spec_arg.split(":", 1)[1].split("+")]
             trunc = {}
