@@ -441,12 +441,32 @@ def _w4a8_from_q(p: dict, xq, xs, lead, out_dtype) -> jax.Array:
     return out.reshape(*lead, n)
 
 
-def quantize_tree_int4(params, min_size: int = 1 << 16):
+# DiT leaves that stay bf16 in the production W4A8 config: the embed/head
+# layers run once per forward (not per block) so their cost is negligible
+# (~81 MB HBM, ~0.1% of the edit time), yet quantizing them dominates the
+# cumulative latent divergence — the 60-block/40-step lane measures final
+# rel-L2 0.054 with them int4 vs 0.011 with them bf16 (cosine 0.99855 vs
+# 0.99994; tools/quant_divergence.py, BENCH_DETAIL.json quant_divergence).
+DIT_OUTER_KEYS = ("img_in", "txt_in", "time_embed", "norm_out", "proj_out",
+                  "txt_norm")
+
+
+def quantize_tree_int4(params, min_size: int = 1 << 16,
+                       skip_top: tuple = ()):
     """Replace every large linear leaf {'w': ...} with packed int4 form.
 
     Stacked-layer leaves (leading layer axis from lax.scan) are vmapped.
-    Small leaves (norm scales, biases) stay as-is.
+    Small leaves (norm scales, biases) stay as-is.  Top-level keys named
+    in `skip_top` are left untouched (pass DIT_OUTER_KEYS for the
+    production mixed-precision DiT spec).
     """
+    if skip_top and isinstance(params, dict):
+        kept = {k: v for k, v in params.items() if k in skip_top}
+        rest = {k: v for k, v in params.items() if k not in skip_top}
+        out = quantize_tree_int4(rest, min_size)
+        out.update(kept)
+        return out
+
     def walk(node):
         if isinstance(node, dict):
             if "w" in node and hasattr(node["w"], "size") and node["w"].ndim >= 2 \

@@ -217,10 +217,15 @@ class PhysicEditPipeline:
             # Packed-int4 weights (kernels/quant_matmul.py): the whole
             # 20B DiT + 7B VL fit ONE 16 GB chip HBM-resident — the
             # single-chip deployment config (docs/SERVING.md).
-            from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
+            from physicedit_tpu.kernels.quant_matmul import (
+                DIT_OUTER_KEYS, quantize_tree_int4)
 
             if "dit_params" in kw:
-                kw["dit_params"] = quantize_tree_int4(kw["dit_params"])
+                # blocks int4, embed/head layers bf16: the outer GEMMs run
+                # once per forward (~0.1% of the time) but carry 5x of the
+                # cumulative quantization divergence (quant_divergence lane)
+                kw["dit_params"] = quantize_tree_int4(
+                    kw["dit_params"], skip_top=DIT_OUTER_KEYS)
             if "text_params" in kw:
                 from physicedit_tpu.models.qwen_vl import (
                     fuse_decode_projections, quantize_embedding_int8)

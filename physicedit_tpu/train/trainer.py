@@ -149,10 +149,12 @@ class Trainer:
         self.skip_batches = 0
         self.frozen = {"dit": pipe.dit_params}
         if cfg.quantize_frozen == "w4":
-            from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
+            from physicedit_tpu.kernels.quant_matmul import (
+                DIT_OUTER_KEYS, quantize_tree_int4)
 
             self.frozen = {"dit": quantize_tree_int4(
-                pipe.dit_params, min_size=cfg.quantize_min_size)}
+                pipe.dit_params, min_size=cfg.quantize_min_size,
+                skip_top=DIT_OUTER_KEYS)}
         elif cfg.quantize_frozen != "none":
             raise ValueError(f"unknown quantize_frozen: {cfg.quantize_frozen}")
         if mesh is not None:

@@ -55,15 +55,19 @@ def measure_dit60(num_layers: int = 60, reps: int = 6,
     serving shapes (tools/mixed_res_serving.py).  ``edit_grid`` defaults
     to ``grid`` (the PICA convention: edit image at the output size)."""
     from physicedit_tpu.core.params import random_tree_like, tree_size_bytes
-    from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
+    from physicedit_tpu.kernels.quant_matmul import (DIT_OUTER_KEYS,
+                                                     quantize_tree_int4)
     from physicedit_tpu.models import dit as jdit
     from physicedit_tpu.ops import rope as jrope
 
     cfg = jdit.DiTConfig(num_layers=num_layers)
     dtype = jnp.bfloat16
     if params is None:
+        # production mixed-precision spec: blocks int4, embed/head bf16
+        # (quant_divergence lane — 5x lower cumulative latent drift)
         shapes = jax.eval_shape(lambda: quantize_tree_int4(
-            jdit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype)))
+            jdit.init_dit_params(jax.random.PRNGKey(0), cfg, dtype),
+            skip_top=DIT_OUTER_KEYS))
         t0 = time.perf_counter()
         params = random_tree_like(1, shapes)
         log(f"quantized params materialised: "

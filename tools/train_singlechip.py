@@ -48,7 +48,8 @@ def run(rank: int = 16, reps: int = 3, num_layers: int = 60,
         adapters_dtype: str = "float32"):
     from physicedit_tpu import lora as jlora
     from physicedit_tpu.core.params import random_tree_like, tree_size_bytes
-    from physicedit_tpu.kernels.quant_matmul import quantize_tree_int4
+    from physicedit_tpu.kernels.quant_matmul import (DIT_OUTER_KEYS,
+                                                     quantize_tree_int4)
     from physicedit_tpu.models import adapters as jad
     from physicedit_tpu.models import dit as jdit
     from physicedit_tpu.ops import rope as jrope
@@ -56,8 +57,10 @@ def run(rank: int = 16, reps: int = 3, num_layers: int = 60,
     from physicedit_tpu.train.train_step import make_optimizer, train_step
 
     cfg = jdit.DiTConfig(num_layers=num_layers)
+    # mirrors Trainer(quantize_frozen="w4"): blocks int4, embed/head bf16
     shapes = jax.eval_shape(lambda: quantize_tree_int4(
-        jdit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)))
+        jdit.init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16),
+        skip_top=DIT_OUTER_KEYS))
     t0 = time.perf_counter()
     dit_params = random_tree_like(1, shapes)
     log(f"frozen W4 DiT: {tree_size_bytes(dit_params)/1e9:.2f} GB "
