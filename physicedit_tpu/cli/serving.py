@@ -36,10 +36,12 @@ def add_serving_args(p: argparse.ArgumentParser,
     g.add_argument("--attn_impl", type=str, default=None,
                    choices=["xla", "pallas"])
     g.add_argument("--cfg_truncate_step", type=int, default=None,
-                   help="OPT-IN accelerator (changes outputs vs the "
-                        "reference workload): run CFG only for the first "
-                        "K steps, positives-only after (late steps cost "
-                        "~half; standard CFG-interval practice). K=0 is "
+                   help="Guidance-interval accelerator: run CFG only for "
+                        "the first K steps, positives-only after (late "
+                        "steps cost ~half; standard CFG-interval "
+                        "practice). K=30 is the production serving config "
+                        "(divergence-qualified, BASELINE.md round-5 "
+                        "addendum; the headline number). K=0 is "
                         "positives-only throughout; negative K errors. "
                         "Default off = reference-exact CFG at every step")
     if with_rewriter:
