@@ -627,10 +627,9 @@ class StageCache:
     0 = unusable (different device/platform — numbers meaningless).
     ``put(name, value)`` persists immediately (crash-resilient)."""
 
-    def __init__(self, path=None):
+    def __init__(self, path=None, trust_ledger=False):
         self.path = _default_cache_path() if path is None else path
         path = self.path
-        self.fp = _env_fingerprint()
         self.stages = {}
         self.cached_fp = {}
         if path is not None:
@@ -644,6 +643,18 @@ class StageCache:
             except (OSError, ValueError) as e:
                 log(f"WARNING: stage cache {path} unreadable ({e!r}) — "
                     f"starting fresh")
+        if trust_ledger:
+            # wedged device: _env_fingerprint()'s jax.devices() could
+            # block forever, and the hardware cannot be re-verified —
+            # adopt the ledger's own fingerprint with a code marker that
+            # keeps level() at "last resort" (1), never "exact"
+            base = self.cached_fp or {
+                "jax": jax.__version__, "platform": "tpu",
+                "device_kind": "unknown", "steps": NUM_STEPS,
+                "blocks": NUM_BLOCKS}
+            self.fp = dict(base, code="wedged-reuse")
+        else:
+            self.fp = _env_fingerprint()
 
     def level(self):
         c, f = self.cached_fp, self.fp
@@ -673,6 +684,81 @@ class StageCache:
             log(f"WARNING: could not persist stage cache: {e!r}")
 
 
+def probe_device(timeout_s: float = 180.0):
+    """Hard-timeout device health probe in a SUBPROCESS.
+
+    Returns the backend platform string ("tpu"/"cpu") when a tiny jitted
+    matmul completes in time, else None.  Runs BEFORE the parent touches
+    jax.devices(): on a wedged tunnel even backend init can block.
+
+    The tunnelled TPU can wedge so that any program load blocks forever
+    at ~0% CPU (docs/OPERATIONS.md "Killing a process mid-TPU-operation
+    can wedge the device"; observed again round 5: two bench runs hung
+    20+ min at the first big jit).  A wedged RPC blocks in C with no
+    bytecode boundary, so an in-process timer cannot interrupt it — the
+    probe must be a subprocess the parent can abandon.  ~30-120 s is
+    normal for a fresh probe after a client kill, hence the generous
+    default."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp\n"
+            "p = jax.devices()[0].platform\n"
+            "x = jnp.ones((1024, 1024), jnp.bfloat16)\n"
+            "assert float((x @ x).sum()) > 0\n"
+            "print('PROBE_OK', p)\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        for ln in r.stdout.decode(errors="replace").splitlines():
+            if ln.startswith("PROBE_OK "):
+                return ln.split()[1]
+        return None
+    except (subprocess.TimeoutExpired, OSError):
+        return None
+
+
+# Stage values recoverable from the committed measurement artifact when
+# the device is wedged and the ledger lacks a stage (last-resort seed;
+# every entry is a real prior on-chip measurement, logged as STALE).
+def seed_stages_from_detail(cache, detail_path) -> int:
+    try:
+        with open(detail_path) as f:
+            d = json.load(f)
+    except (OSError, ValueError) as e:
+        log(f"WARNING: cannot seed stages from {detail_path}: {e!r}")
+        return 0
+    pulls = {
+        "dit60_step_s": lambda: d["dit60_step_s"],
+        "dit60_step_b1_s": lambda: d["cfg_truncate"]["dit60_step_b1_s"],
+        "vl_1_2_8": lambda: {b: [d["vl"][b]["prefill_s"],
+                                 d["vl"][b]["decode_s_per_tok_total"]]
+                             for b in ("1", "2", "8")},
+        "vl_4_16": lambda: {b: [d["vl"][b]["prefill_s"],
+                                d["vl"][b]["decode_s_per_tok_total"]]
+                            for b in ("4", "16")},
+        "vae": lambda: [d["vae_encode_s"], d["vae_decode_s"],
+                        d["vae_decode_b8_s"], d["vae_encode_b8_s"]],
+        "vision": lambda: [d["vision_s"], d["vision_batched_item_s"]],
+        "bf16_block_s": lambda: d["bf16_block_s"],
+        "quant_delta": lambda: d["quant_delta"],
+        "dinov2_s": lambda: d["dinov2_s"],
+    }
+    n = 0
+    for name, pull in pulls.items():
+        if name in cache.stages:
+            continue
+        try:
+            cache.stages[name] = pull()
+            n += 1
+        except (KeyError, TypeError):
+            pass
+    if n and not cache.cached_fp:
+        # mark as a non-matching code fingerprint so level() reports the
+        # seeded values as the last resort they are, never "exact"
+        cache.cached_fp = dict(cache.fp, code="seeded-from-detail")
+    return n
+
+
 def measure_or_reuse(cache, name, estimate_s, remaining_fn, measure_fn,
                      reserve_s=30.0):
     """Measure ``name`` fresh when the remaining budget covers its cold
@@ -687,6 +773,12 @@ def measure_or_reuse(cache, name, estimate_s, remaining_fn, measure_fn,
         log(f"[stage-cache] reusing {name}: {remaining_fn():.0f}s left < "
             f"{estimate_s:.0f}s cold estimate{tag}")
         return cached, False
+    if remaining_fn() == float("-inf"):
+        # wedged device (see main): measuring would hang forever — fail
+        # loudly instead so the driver at least gets a fast non-zero exit
+        raise RuntimeError(
+            f"device wedged and stage {name!r} has no cached/recorded "
+            f"value to reuse")
     value = measure_fn()
     cache.put(name, value)
     return value, True
@@ -781,9 +873,15 @@ def main(out_path=None, budget_s=None):
         log("detail artifact NOT written (pass --out BENCH_DETAIL.json "
             "to refresh the committed measurement artifact)")
 
-    platform = jax.devices()[0].platform
+    # Probe FIRST, in a subprocess: on a wedged tunnel even the parent's
+    # jax.devices() backend init can block forever (probe_device docs).
+    platform = probe_device()
+    wedged = platform is None
+    if wedged:
+        platform = "tpu"   # only the tunnelled TPU backend can time out
     dtype = jnp.bfloat16
-    log(f"platform={platform} attn_impl={default_impl()} "
+    log(f"platform={platform}{' (PROBE FAILED — WEDGED)' if wedged else ''}"
+        f" attn_impl={'n/a' if wedged else default_impl()} "
         f"budget={budget_s:.0f}s")
 
     if platform == "cpu":
@@ -795,18 +893,48 @@ def main(out_path=None, budget_s=None):
         return
 
     detail = {"platform": platform, "steps": NUM_STEPS, "blocks": NUM_BLOCKS}
-    detail["memory"] = memory_budget(nb=8)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    if wedged:
+        # memory_budget() builds device arrays via the backend — reuse the
+        # committed artifact's figures (same code path, same shapes)
+        try:
+            with open(detail_path) as f:
+                detail["memory"] = json.load(f)["memory"]
+        except (OSError, ValueError, KeyError):
+            log("wedged AND no committed artifact to reuse — emitting a "
+                "zero headline so the driver still parses a line")
+            print(json.dumps({
+                "metric": "edits_per_min_per_chip_sweep_serving_1024px_40steps",
+                "value": 0.0, "unit": "edits/min/chip", "vs_baseline": 0.0,
+                "note": "device probe failed; no cached measurements"}))
+            return
+    else:
+        detail["memory"] = memory_budget(nb=8)
 
     # Stage cache (see StageCache above): every mandatory stage persists
     # immediately and is reused — instead of blowing the budget — when its
     # cold estimate no longer fits.  Estimates are cold-compile figures
     # for this 1-core host; a warm .jax_cache runs far under them.
-    cache = StageCache()
+    cache = StageCache(trust_ledger=wedged)
     log(f"stage cache: level {cache.level()} "
         f"({len(cache.stages)} stages) fingerprint={cache.fp['code']}")
 
+    # Wedged-device fallback: no fresh measurement can be trusted to
+    # return — compose the WHOLE headline from cached/recorded stage
+    # measurements instead of hanging into the driver's rc=124.
+    if wedged:
+        seeded = seed_stages_from_detail(cache, detail_path)
+        log("DEVICE PROBE FAILED — tunnelled TPU wedged "
+            "(docs/OPERATIONS.md #4). Composing the headline entirely "
+            f"from cached/recorded stages ({len(cache.stages)} available, "
+            f"{seeded} seeded from the committed artifact). Numbers are "
+            "REUSED, not fresh.")
+
     def remaining():
-        return budget_s - (time.monotonic() - t_start)
+        # -inf when wedged: every measure_or_reuse/extra reuses or skips
+        return float("-inf") if wedged else \
+            budget_s - (time.monotonic() - t_start)
 
     # ---- 1. MEASURED 60-block W4A8 denoise step (slim last block) -------
     # [0]: drop the returned 10.25 GB quantized tree immediately — holding
@@ -946,7 +1074,9 @@ def main(out_path=None, budget_s=None):
         "unit": "edits/min/chip",
         "vs_baseline": round(serving_epm / A100_EDITS_PER_MIN_FULL, 3),
         "note": f"guidance interval k={k}/40 (latent-qualified, BASELINE"
-                f".md); full-CFG: {faithful_epm:.4f}",
+                f".md); full-CFG: {faithful_epm:.4f}"
+                + ("; DEGRADED: device probe failed, all stages reused "
+                   "from cache/artifact" if wedged else ""),
     }))
     sys.stdout.flush()
 

@@ -94,6 +94,9 @@ def _stub_measurements(monkeypatch):
     monkeypatch.setattr(bench.jax, "devices",
                         lambda: [SimpleNamespace(platform="tpu",
                                                  device_kind="stub-tpu")])
+    # main() learns the platform from the subprocess health probe now —
+    # stub it healthy so no real subprocess (or real backend) is touched
+    monkeypatch.setattr(bench, "probe_device", lambda timeout_s=180.0: "tpu")
     monkeypatch.setattr(
         md, "measure_dit60",
         lambda n, reps=4, batch=2, params=None: (1.9 if batch == 2 else 0.95,
@@ -239,6 +242,33 @@ def test_main_reuses_stage_cache_when_budget_exhausted(monkeypatch, capsys):
     second = json.loads([ln for ln in capsys.readouterr().out.splitlines()
                          if ln.startswith("{")][-1])
     assert second == first
+
+
+def test_main_wedged_device_composes_from_artifact(monkeypatch, capsys):
+    """A wedged tunnel (device probe timeout) must still produce a parsed
+    headline: every stage seeds from the committed BENCH_DETAIL.json and
+    NO device measurement is attempted (a wedged RPC would hang the
+    driver into rc=124 — the round-5 failure mode this guards)."""
+    import json
+
+    _stub_measurements(monkeypatch)
+    monkeypatch.setattr(bench, "probe_device", lambda timeout_s=180.0: None)
+
+    def boom(*a, **k):
+        raise AssertionError("device touched while wedged")
+
+    import tools.measure_dit60 as md
+
+    monkeypatch.setattr(md, "measure_dit60", boom)
+    monkeypatch.setattr(bench, "bench_vl", boom)
+    monkeypatch.setattr(bench, "bench_vae", boom)
+    monkeypatch.setattr(bench, "bench_vision", boom)
+    monkeypatch.setattr(bench, "memory_budget", boom)
+    bench.main(out_path=None, budget_s=420.0)
+    out = json.loads([ln for ln in capsys.readouterr().out.splitlines()
+                      if ln.startswith("{")][-1])
+    assert out["value"] > 0.5            # composed from recorded stages
+    assert "DEGRADED" in out["note"]
 
 
 def test_stage_cache_rejects_other_hardware(tmp_path):
