@@ -4,7 +4,7 @@ Runs, in order, stopping at the first failure:
 
   1. artifact integrity  — tools/check_artifacts.py (BENCH_DETAIL.json
      parses + rendered tables regenerate byte-identically);
-  2. fast test tier      — pytest -m "not slow" -q (every module, <5 min);
+  2. fast test tier      — pytest -m "not slow" -q (every module, ~10 min);
   3. driver entry        — python __graft_entry__.py (single-chip compile);
   4. multichip dryrun    — dryrun_multichip(8) on the virtual CPU mesh
      (skipped with --no-dryrun; ~4 min of CPU compiles).
