@@ -842,7 +842,7 @@ def _write_detail(detail, out_path):
         json.dump(merged, f, indent=1)
 
 
-def main(out_path=None, budget_s=None):
+def main(out_path=None, budget_s=None, reuse_only=False):
     """Headline-first bench run.
 
     The driver enforces a wall-clock limit on ``python bench.py`` and
@@ -875,7 +875,9 @@ def main(out_path=None, budget_s=None):
 
     # Probe FIRST, in a subprocess: on a wedged tunnel even the parent's
     # jax.devices() backend init can block forever (probe_device docs).
-    platform = probe_device()
+    # reuse_only (main_guarded's fallback after a hung measuring child)
+    # skips the probe and goes straight to cache/artifact composition.
+    platform = None if reuse_only else probe_device()
     wedged = platform is None
     if wedged:
         platform = "tpu"   # only the tunnelled TPU backend can time out
@@ -925,8 +927,11 @@ def main(out_path=None, budget_s=None):
     # measurements instead of hanging into the driver's rc=124.
     if wedged:
         seeded = seed_stages_from_detail(cache, detail_path)
-        log("DEVICE PROBE FAILED — tunnelled TPU wedged "
-            "(docs/OPERATIONS.md #4). Composing the headline entirely "
+        why = ("measuring child hung mid-stage (half-wedged device)"
+               if reuse_only else
+               "DEVICE PROBE FAILED — tunnelled TPU wedged "
+               "(docs/OPERATIONS.md #4)")
+        log(f"{why}. Composing the headline entirely "
             f"from cached/recorded stages ({len(cache.stages)} available, "
             f"{seeded} seeded from the committed artifact). Numbers are "
             "REUSED, not fresh.")
@@ -1148,6 +1153,67 @@ def main(out_path=None, budget_s=None):
         f"(budget {budget_s:.0f}s)")
 
 
+def _expired_text(s):
+    if s is None:
+        return ""
+    return s if isinstance(s, str) else s.decode(errors="replace")
+
+
+def main_guarded(out_path=None, budget_s=None):
+    """Driver-facing wrapper: run the measuring main() in a CHILD process
+    under a hard timeout.
+
+    Guards the half-wedged device state observed round 5: the tiny health
+    probe succeeds (33 s) but the first big program load hangs forever —
+    main()'s own probe cannot catch that, and the hang would ride the
+    driver into rc=124 with no parsed headline (the round-3 failure
+    mode).  The child persists every stage measurement to the ledger the
+    moment it lands and prints the headline before the extras, so on a
+    hang the parent (a) forwards any headline the child already printed,
+    else (b) recomposes from the child's persisted partials + the ledger
+    + the committed artifact (main(reuse_only=True)).  The child gets a
+    slightly smaller internal budget than its kill timeout, so on a
+    healthy-but-slow run it budget-skips extras and exits cleanly instead
+    of being killed mid-device-op (docs/OPERATIONS.md #4)."""
+    import subprocess
+
+    if budget_s is None:
+        budget_s = float(os.environ.get("PHYSICEDIT_BENCH_BUDGET_S", "420"))
+    reserve_s = 45.0
+    child_timeout = max(90.0, budget_s - (time.monotonic() - _T0) - reserve_s)
+    cmd = [sys.executable, os.path.abspath(__file__), "--inner",
+           "--budget", str(child_timeout - 10.0)]
+    if out_path:
+        cmd += ["--out", out_path]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=child_timeout)
+        sys.stderr.write(r.stderr)
+        sys.stderr.flush()
+        if r.returncode == 0 and any(ln.startswith("{")
+                                     for ln in r.stdout.splitlines()):
+            sys.stdout.write(r.stdout)
+            sys.stdout.flush()
+            return
+        log(f"measuring child exited rc={r.returncode} with no headline — "
+            "recomposing from its persisted stages")
+    except subprocess.TimeoutExpired as e:
+        sys.stderr.write(_expired_text(e.stderr))
+        sys.stderr.flush()
+        out_txt = _expired_text(e.stdout)
+        headline = [ln for ln in out_txt.splitlines() if ln.startswith("{")]
+        if headline:
+            log(f"measuring child hung after printing the headline "
+                f"(killed at {child_timeout:.0f}s) — forwarding it")
+            print(headline[-1])
+            sys.stdout.flush()
+            return
+        log(f"measuring child hung with no headline "
+            f"(killed at {child_timeout:.0f}s) — half-wedged device; "
+            "recomposing from its persisted stages")
+    main(out_path=out_path, budget_s=budget_s, reuse_only=True)
+
+
 if __name__ == "__main__":
     import argparse
     ap = argparse.ArgumentParser()
@@ -1157,5 +1223,12 @@ if __name__ == "__main__":
     ap.add_argument("--budget", type=float, default=None,
                     help="wall-clock budget seconds (default: "
                          "$PHYSICEDIT_BENCH_BUDGET_S or 420)")
+    ap.add_argument("--inner", action="store_true",
+                    help="run the measuring main() directly (the "
+                         "main_guarded child mode); default is the "
+                         "guarded parent")
     a = ap.parse_args()
-    main(out_path=a.out, budget_s=a.budget)
+    if a.inner:
+        main(out_path=a.out, budget_s=a.budget)
+    else:
+        main_guarded(out_path=a.out, budget_s=a.budget)

@@ -271,6 +271,63 @@ def test_main_wedged_device_composes_from_artifact(monkeypatch, capsys):
     assert "DEGRADED" in out["note"]
 
 
+def test_main_guarded_forwards_child_headline(monkeypatch, capsys):
+    """Healthy path: the measuring child prints the headline; the parent
+    forwards it verbatim and never falls back."""
+    import subprocess
+    from types import SimpleNamespace
+
+    line = '{"metric": "m", "value": 1.0}'
+    monkeypatch.setattr(
+        subprocess, "run",
+        lambda *a, **k: SimpleNamespace(returncode=0, stdout=line + "\n",
+                                        stderr="childlog\n"))
+    monkeypatch.setattr(bench, "main",
+                        lambda **k: (_ for _ in ()).throw(
+                            AssertionError("fallback main called")))
+    bench.main_guarded(out_path=None, budget_s=420.0)
+    cap = capsys.readouterr()
+    assert line in cap.out
+
+
+def test_main_guarded_recomposes_when_child_hangs(monkeypatch, capsys):
+    """Half-wedged device: the child hangs before printing anything; the
+    parent kills it and recomposes via main(reuse_only=True)."""
+    import subprocess
+
+    def hang(*a, **k):
+        raise subprocess.TimeoutExpired(cmd=a[0], timeout=1.0,
+                                        output=b"", stderr=b"")
+
+    monkeypatch.setattr(subprocess, "run", hang)
+    calls = {}
+    monkeypatch.setattr(bench, "main",
+                        lambda **k: calls.update(k))
+    bench.main_guarded(out_path=None, budget_s=420.0)
+    assert calls.get("reuse_only") is True
+
+
+def test_main_guarded_forwards_headline_printed_before_hang(monkeypatch,
+                                                            capsys):
+    """Child printed the headline, then hung in an extra: the parent must
+    forward that headline, not recompose."""
+    import subprocess
+
+    line = '{"metric": "m", "value": 2.0}'
+
+    def hang(*a, **k):
+        raise subprocess.TimeoutExpired(cmd=a[0], timeout=1.0,
+                                        output=(line + "\n").encode(),
+                                        stderr=b"")
+
+    monkeypatch.setattr(subprocess, "run", hang)
+    monkeypatch.setattr(bench, "main",
+                        lambda **k: (_ for _ in ()).throw(
+                            AssertionError("fallback main called")))
+    bench.main_guarded(out_path=None, budget_s=420.0)
+    assert line in capsys.readouterr().out
+
+
 def test_stage_cache_rejects_other_hardware(tmp_path):
     """Cached numbers from a different device kind are meaningless —
     level 0, never reused."""
