@@ -684,7 +684,7 @@ class StageCache:
             log(f"WARNING: could not persist stage cache: {e!r}")
 
 
-def probe_device(timeout_s: float = 180.0):
+def probe_device(timeout_s: float = 300.0):
     """Hard-timeout device health probe in a SUBPROCESS.
 
     Returns the backend platform string ("tpu"/"cpu") when a tiny jitted
@@ -696,9 +696,11 @@ def probe_device(timeout_s: float = 180.0):
     can wedge the device"; observed again round 5: two bench runs hung
     20+ min at the first big jit).  A wedged RPC blocks in C with no
     bytecode boundary, so an in-process timer cannot interrupt it — the
-    probe must be a subprocess the parent can abandon.  ~30-120 s is
-    normal for a fresh probe after a client kill, hence the generous
-    default."""
+    probe must be a subprocess the parent can abandon.  The FIRST probe
+    after a wedge recovery has been observed to take 2-3+ min (the
+    round-5 bench once mis-classified a freshly-recovered device as
+    wedged with a 180 s cap), hence the generous default; a healthy
+    warm device answers in seconds."""
     import subprocess
 
     code = ("import jax, jax.numpy as jnp\n"
@@ -707,14 +709,42 @@ def probe_device(timeout_s: float = 180.0):
             "assert float((x @ x).sum()) > 0\n"
             "print('PROBE_OK', p)\n")
     try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, timeout=timeout_s)
-        for ln in r.stdout.decode(errors="replace").splitlines():
-            if ln.startswith("PROBE_OK "):
-                return ln.split()[1]
+        out = _run_with_grace([sys.executable, "-c", code], timeout_s)
+    except OSError:
         return None
-    except (subprocess.TimeoutExpired, OSError):
+    if out is None:
         return None
+    for ln in out.splitlines():
+        if ln.startswith("PROBE_OK "):
+            return ln.split()[1]
+    return None
+
+
+def _run_with_grace(cmd, timeout_s, grace_s=15.0):
+    """run(cmd) with SIGTERM-then-SIGKILL on timeout; returns stdout text
+    or None on timeout/nonzero exit.
+
+    SIGKILLing a client mid-TPU-operation re-arms the device wedge for
+    ~15 min (observed repeatedly round 5); SIGTERM first gives the
+    process a chance to tear its client session down (the block is
+    usually an RPC wait that releases the GIL, so the handler can run)."""
+    import subprocess
+
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE)
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        try:
+            proc.communicate(timeout=grace_s)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
+        return None
+    if proc.returncode != 0:
+        return None
+    return out.decode(errors="replace")
 
 
 # Stage values recoverable from the committed measurement artifact when
@@ -1153,12 +1183,6 @@ def main(out_path=None, budget_s=None, reuse_only=False):
         f"(budget {budget_s:.0f}s)")
 
 
-def _expired_text(s):
-    if s is None:
-        return ""
-    return s if isinstance(s, str) else s.decode(errors="replace")
-
-
 def main_guarded(out_path=None, budget_s=None):
     """Driver-facing wrapper: run the measuring main() in a CHILD process
     under a hard timeout.
@@ -1185,32 +1209,37 @@ def main_guarded(out_path=None, budget_s=None):
            "--budget", str(child_timeout - 10.0)]
     if out_path:
         cmd += ["--out", out_path]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    timed_out = False
     try:
-        r = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=child_timeout)
-        sys.stderr.write(r.stderr)
-        sys.stderr.flush()
-        if r.returncode == 0 and any(ln.startswith("{")
-                                     for ln in r.stdout.splitlines()):
-            sys.stdout.write(r.stdout)
-            sys.stdout.flush()
-            return
-        log(f"measuring child exited rc={r.returncode} with no headline — "
-            "recomposing from its persisted stages")
-    except subprocess.TimeoutExpired as e:
-        sys.stderr.write(_expired_text(e.stderr))
-        sys.stderr.flush()
-        out_txt = _expired_text(e.stdout)
-        headline = [ln for ln in out_txt.splitlines() if ln.startswith("{")]
-        if headline:
-            log(f"measuring child hung after printing the headline "
-                f"(killed at {child_timeout:.0f}s) — forwarding it")
-            print(headline[-1])
-            sys.stdout.flush()
-            return
-        log(f"measuring child hung with no headline "
-            f"(killed at {child_timeout:.0f}s) — half-wedged device; "
-            "recomposing from its persisted stages")
+        out, err = proc.communicate(timeout=child_timeout)
+    except subprocess.TimeoutExpired:
+        timed_out = True
+        # SIGTERM first: a SIGKILLed client mid-TPU-op re-arms the device
+        # wedge for ~15 min (_run_with_grace docs)
+        proc.terminate()
+        try:
+            out, err = proc.communicate(timeout=15.0)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out, err = proc.communicate()
+    sys.stderr.write(err or "")
+    sys.stderr.flush()
+    headline = [ln for ln in (out or "").splitlines() if ln.startswith("{")]
+    if not timed_out and proc.returncode == 0 and headline:
+        sys.stdout.write(out)
+        sys.stdout.flush()
+        return
+    if headline:
+        log(f"measuring child hung after printing the headline "
+            f"(killed at {child_timeout:.0f}s) — forwarding it")
+        print(headline[-1])
+        sys.stdout.flush()
+        return
+    log(f"measuring child {'hung' if timed_out else f'exited rc={proc.returncode}'} "
+        f"with no headline — half-wedged device or stage crash; "
+        "recomposing from its persisted stages")
     main(out_path=out_path, budget_s=budget_s, reuse_only=True)
 
 

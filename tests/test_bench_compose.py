@@ -271,17 +271,40 @@ def test_main_wedged_device_composes_from_artifact(monkeypatch, capsys):
     assert "DEGRADED" in out["note"]
 
 
+class _FakeProc:
+    """Stand-in for the main_guarded measuring child (subprocess.Popen).
+
+    hang=True: communicate() raises TimeoutExpired until terminate()/
+    kill() is called, then returns whatever was 'buffered' — mirroring
+    the real SIGTERM-grace flow."""
+
+    def __init__(self, out="", err="", rc=0, hang=False):
+        self.out, self.err, self.returncode, self.hang = out, err, rc, hang
+        self.stopped = False
+
+    def communicate(self, timeout=None):
+        import subprocess
+
+        if self.hang and not self.stopped:
+            raise subprocess.TimeoutExpired(cmd="child", timeout=timeout)
+        return self.out, self.err
+
+    def terminate(self):
+        self.stopped = True
+
+    def kill(self):
+        self.stopped = True
+
+
 def test_main_guarded_forwards_child_headline(monkeypatch, capsys):
     """Healthy path: the measuring child prints the headline; the parent
     forwards it verbatim and never falls back."""
     import subprocess
-    from types import SimpleNamespace
 
     line = '{"metric": "m", "value": 1.0}'
     monkeypatch.setattr(
-        subprocess, "run",
-        lambda *a, **k: SimpleNamespace(returncode=0, stdout=line + "\n",
-                                        stderr="childlog\n"))
+        subprocess, "Popen",
+        lambda *a, **k: _FakeProc(out=line + "\n", err="childlog\n"))
     monkeypatch.setattr(bench, "main",
                         lambda **k: (_ for _ in ()).throw(
                             AssertionError("fallback main called")))
@@ -292,14 +315,12 @@ def test_main_guarded_forwards_child_headline(monkeypatch, capsys):
 
 def test_main_guarded_recomposes_when_child_hangs(monkeypatch, capsys):
     """Half-wedged device: the child hangs before printing anything; the
-    parent kills it and recomposes via main(reuse_only=True)."""
+    parent stops it (SIGTERM grace) and recomposes via
+    main(reuse_only=True)."""
     import subprocess
 
-    def hang(*a, **k):
-        raise subprocess.TimeoutExpired(cmd=a[0], timeout=1.0,
-                                        output=b"", stderr=b"")
-
-    monkeypatch.setattr(subprocess, "run", hang)
+    monkeypatch.setattr(subprocess, "Popen",
+                        lambda *a, **k: _FakeProc(hang=True))
     calls = {}
     monkeypatch.setattr(bench, "main",
                         lambda **k: calls.update(k))
@@ -314,13 +335,9 @@ def test_main_guarded_forwards_headline_printed_before_hang(monkeypatch,
     import subprocess
 
     line = '{"metric": "m", "value": 2.0}'
-
-    def hang(*a, **k):
-        raise subprocess.TimeoutExpired(cmd=a[0], timeout=1.0,
-                                        output=(line + "\n").encode(),
-                                        stderr=b"")
-
-    monkeypatch.setattr(subprocess, "run", hang)
+    monkeypatch.setattr(
+        subprocess, "Popen",
+        lambda *a, **k: _FakeProc(out=line + "\n", hang=True))
     monkeypatch.setattr(bench, "main",
                         lambda **k: (_ for _ in ()).throw(
                             AssertionError("fallback main called")))
